@@ -1,0 +1,96 @@
+"""Runtime layer tests: config overlay, checkpoint round-trip, mesh DP."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tts_arabic_tpu.runtime import (CheckpointManager, DictConfig,
+                                    get_basic_config, get_config, load_states,
+                                    save_states)
+from tts_arabic_tpu.parallel import (data_parallel_jit, make_mesh,
+                                     pad_batch_to_devices, shard_batch)
+
+
+def test_config_overlay(tmp_path):
+    basic = tmp_path / "basic.yaml"
+    basic.write_text("a: 1\nb: two\nnested:\n  x: 1\n")
+    exp = tmp_path / "exp.yaml"
+    exp.write_text("b: three\nc: 4\n")
+    cfg = get_config(exp, basic_path=basic)
+    assert cfg.a == 1 and cfg.b == "three" and cfg.c == 4
+    assert cfg.nested.x == 1
+    with pytest.raises(AttributeError):
+        _ = cfg.missing
+
+
+def test_repo_configs_load():
+    cfg = get_basic_config()
+    assert cfg.decoder_max_step == 3000
+    import pathlib
+    root = pathlib.Path(__file__).resolve().parents[1]
+    for name in ["nawar_fp", "nawar_fp_adv", "nawar_tc2", "nawar_tc2_adv"]:
+        c = get_config(root / "configs" / f"{name}.yaml")
+        assert "label_pattern" in c and c.epochs == 500
+    fp = get_config(root / "configs" / "nawar_fp.yaml")
+    assert fp.max_lengths == [1000, 1300, 1850, 30000]
+    assert fp.batch_sizes == [10, 8, 6, 4]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "b": np.zeros(3, np.float32)}
+    opt = {"mu": {"w": np.ones((2, 3), np.float32)}}
+    p = tmp_path / "ckpt" / "states.ckpt"
+    save_states(p, step=123, epoch=7, config={"dim": 384}, model=tree,
+                optim=opt)
+    back = load_states(p)
+    assert back["step"] == 123 and back["epoch"] == 7
+    assert back["config"]["dim"] == 384
+    np.testing.assert_array_equal(back["model"]["w"], tree["w"])
+    np.testing.assert_array_equal(back["optim"]["mu"]["w"], opt["mu"]["w"])
+
+
+def test_checkpoint_manager_cadence(tmp_path):
+    mgr = CheckpointManager(tmp_path, n_save_states_iter=2,
+                            n_save_backup_iter=4)
+    tree = {"w": np.zeros(2, np.float32)}
+    assert mgr.maybe_save(1, model=tree) == []
+    wrote = mgr.maybe_save(2, model=tree)
+    assert [p.name for p in wrote] == ["states.ckpt"]
+    wrote = mgr.maybe_save(4, model=tree)
+    assert [p.name for p in wrote] == ["states.ckpt", "states_4.ckpt"]
+    assert mgr.latest().name == "states.ckpt"
+
+
+def test_data_parallel_step_psum():
+    """A DP loss/grad step over an 8-device mesh must equal the single-device
+    result (XLA inserts the psum)."""
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+    params = {"w": jnp.asarray([[2.0, 0.0], [0.0, 1.0]])}
+    batch = {"x": jnp.arange(16.0).reshape(8, 2),
+             "y": jnp.ones((8, 2))}
+
+    def loss_fn(params, batch):
+        pred = batch["x"] @ params["w"]
+        return jnp.mean((pred - batch["y"]) ** 2)
+
+    def step(params, batch):
+        return jax.value_and_grad(loss_fn)(params, batch)
+
+    ref_loss, ref_grad = step(params, batch)
+    dp_step = data_parallel_jit(step, mesh)
+    loss, grad = dp_step(params, shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad["w"]),
+                               np.asarray(ref_grad["w"]), rtol=1e-6)
+
+
+def test_pad_batch_to_devices():
+    mesh = make_mesh()
+    batch = {"x": np.ones((5, 3))}
+    padded = pad_batch_to_devices(batch, mesh)
+    assert padded["x"].shape == (8, 3)
+    assert padded["x"][5:].sum() == 0
