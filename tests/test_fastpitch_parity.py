@@ -1,0 +1,159 @@
+"""Differential parity tests: reference torch FastPitch / HiFi-GAN with
+random weights vs our flax implementation loaded through the torch importer.
+
+This is the strongest available parity gate (SURVEY.md §4 item 2): no
+pretrained checkpoints ship with the reference, so we check that for random
+networks the imported parameters produce matching activations end-to-end.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from ref_loader import load_reference
+from tts_arabic_tpu.models.fastpitch import (FastPitch, FastPitchConfig,
+                                             average_by_durations,
+                                             regulate_len)
+from tts_arabic_tpu.models.torch_import import (fastpitch_params_from_torch,
+                                                hifigan_params_from_torch)
+from tts_arabic_tpu.vocoder.hifigan import Generator, HiFiGANConfig
+
+
+def _np_sd(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def ref(reference_dir):
+    load_reference(reference_dir)
+    from models.fastpitch.fastpitch.model import FastPitch as RefFastPitch
+    from models.fastpitch import net_config
+    cfg = dict(net_config)
+    cfg["n_symbols"] = 40
+    torch.manual_seed(0)
+    model = RefFastPitch(**cfg).eval()
+    return model, cfg
+
+
+@pytest.fixture(scope="module")
+def ours(ref):
+    model, cfg = ref
+    config = FastPitchConfig.from_reference_net_config(cfg)
+    variables = fastpitch_params_from_torch(_np_sd(model), config)
+    return FastPitch(config), variables
+
+
+def test_config_mapping(ref):
+    _, cfg = ref
+    config = FastPitchConfig.from_reference_net_config(cfg)
+    assert config.d_model == 384 and config.enc_n_layers == 6
+    assert config.enc_filter_size == 1536 and config.n_symbols == 40
+    assert config.energy_conditioning
+
+
+def test_infer_parity(ref, ours):
+    """Full infer path: tokens -> mel must match the torch reference."""
+    model, _ = ref
+    fp, variables = ours
+
+    rng = np.random.default_rng(0)
+    B, T = 2, 17
+    tokens = rng.integers(1, 40, size=(B, T))
+    tokens[1, 12:] = 0  # padding
+    tokens_t = torch.from_numpy(tokens).long()
+
+    with torch.no_grad():
+        mel_ref, dec_lens_ref, dur_ref, pitch_ref, energy_ref = model.infer(
+            tokens_t)
+    mel_ref = mel_ref.numpy()  # [B, 80, T_mel]
+    dec_lens_ref = dec_lens_ref.numpy()
+
+    out = FastPitch(fp.config).apply(
+        variables, jnp.asarray(tokens), max_frames=int(mel_ref.shape[2]),
+        method=FastPitch.infer)
+    mel = np.asarray(out["mel"]).transpose(0, 2, 1)
+    mel_lens = np.asarray(out["mel_lens"])
+
+    np.testing.assert_array_equal(mel_lens, dec_lens_ref)
+    np.testing.assert_allclose(np.asarray(out["dur_pred"]),
+                               dur_ref.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["pitch_pred"]),
+                               pitch_ref.numpy(), rtol=1e-3, atol=1e-4)
+    # mel values beyond each sample's dec_len are decoder noise on padding
+    for b in range(B):
+        L = dec_lens_ref[b]
+        np.testing.assert_allclose(mel[b, :, :L], mel_ref[b, :, :L],
+                                   rtol=1e-3, atol=2e-3)
+
+
+def test_regulate_len_matches_reference(ref):
+    load_reference()
+    from models.fastpitch.fastpitch.model import regulate_len as ref_regulate
+    rng = np.random.default_rng(1)
+    durs = rng.integers(0, 9, size=(3, 11)).astype(np.float32)
+    enc = rng.standard_normal((3, 11, 6)).astype(np.float32)
+    out_ref, lens_ref = ref_regulate(torch.from_numpy(durs),
+                                     torch.from_numpy(enc), pace=1.0)
+    max_frames = int(lens_ref.max())
+    out, lens = regulate_len(jnp.asarray(durs), jnp.asarray(enc), max_frames)
+    np.testing.assert_array_equal(np.asarray(lens), lens_ref.numpy())
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(), atol=1e-5)
+
+
+def test_average_by_durations_matches_reference(ref):
+    load_reference()
+    from models.fastpitch.fastpitch.model import average_pitch as ref_avg
+    rng = np.random.default_rng(2)
+    B, T_txt = 3, 9
+    durs = rng.integers(0, 5, size=(B, T_txt)).astype(np.float32)
+    T_mel = int(durs.sum(1).max()) + 2
+    pitch = rng.standard_normal((B, 1, T_mel)).astype(np.float32)
+    pitch[pitch < 0] = 0.0  # exercise the nonzero-count path
+    out_ref = ref_avg(torch.from_numpy(pitch), torch.from_numpy(durs))
+    out = average_by_durations(jnp.asarray(pitch), jnp.asarray(durs))
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(), atol=1e-5)
+
+
+# --- HiFi-GAN ---------------------------------------------------------------
+
+class _AttrDict(dict):
+    __getattr__ = dict.__getitem__
+
+
+@pytest.fixture(scope="module")
+def ref_hifigan(reference_dir):
+    load_reference(reference_dir)
+    from vocoder.hifigan.models import Generator as RefGenerator
+    import json
+    with open(reference_dir / "pretrained/hifigan-asc-v1/config.json") as f:
+        h = _AttrDict(json.load(f))
+    torch.manual_seed(1)
+    gen = RefGenerator(h)
+    gen.remove_weight_norm()
+    gen.eval()
+    return gen, h
+
+
+def test_hifigan_parity(ref_hifigan, reference_dir):
+    gen, h = ref_hifigan
+    config = HiFiGANConfig.from_json(
+        reference_dir / "pretrained/hifigan-asc-v1/config.json")
+    variables = hifigan_params_from_torch(_np_sd(gen), config)
+
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((2, 80, 37)).astype(np.float32) * 2 - 4
+    with torch.no_grad():
+        wav_ref = gen(torch.from_numpy(mel)).numpy()[:, 0, :]
+
+    wav = Generator(config).apply(variables,
+                                  jnp.asarray(mel.transpose(0, 2, 1)))
+    assert wav.shape == wav_ref.shape == (2, 37 * 256)
+    np.testing.assert_allclose(np.asarray(wav), wav_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_hifigan_upsample_factor():
+    config = HiFiGANConfig()
+    assert config.hop_length == 256

@@ -1,0 +1,194 @@
+"""Shared neural layers for the acoustic models (flax.linen).
+
+Functional re-implementations of the reference FFT-transformer stack
+(`models/fastpitch/fastpitch/transformer.py`): sinusoidal positional
+embeddings, fused-QKV multi-head self-attention with post-LayerNorm, and the
+conv-k3 position-wise FFN. Layout is feature-last [B, T, C] throughout (the
+native layout for flax convs and TPU tiling); the torch checkpoints'
+channel-first conv weights are transposed by the importer
+(`tts_arabic_tpu/models/torch_import.py`).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+_NEG_INF = -1e9  # large-negative fill; avoids NaN from (-inf * 0) under masks
+
+
+def sequence_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """[B] lengths -> [B, max_len] bool mask (True inside the sequence)."""
+    pos = jnp.arange(max_len, dtype=lengths.dtype)
+    return pos[None, :] < lengths[:, None]
+
+
+def sinusoidal_positions(n_pos: int, dim: int) -> np.ndarray:
+    """[n_pos, dim] sinusoidal table, concat(sin, cos) layout (matches
+    reference `PositionalEmbedding`, transformer.py:34-48)."""
+    inv_freq = 1.0 / (10000 ** (np.arange(0.0, dim, 2.0) / dim))
+    angles = np.arange(n_pos)[:, None] * inv_freq[None, :]
+    return np.concatenate([np.sin(angles), np.cos(angles)],
+                          axis=1).astype(np.float32)
+
+
+class SelfAttention(nn.Module):
+    """Fused-QKV multi-head self-attention, post-LN residual block
+    (reference `MultiHeadAttn`, transformer.py:93-160)."""
+    n_head: int
+    d_model: int
+    d_head: int
+    dropout: float = 0.1
+    dropatt: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, key_mask, *, deterministic: bool = True):
+        B, T, _ = x.shape
+        h, d = self.n_head, self.d_head
+
+        qkv = nn.Dense(3 * h * d, name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(B, T, 3, h, d), 3, axis=2)
+        q = q.squeeze(2)  # [B, T, h, d]
+        k = k.squeeze(2)
+        v = v.squeeze(2)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(d, x.dtype))
+        scores = jnp.where(key_mask[:, None, None, :], scores, _NEG_INF)
+        probs = nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(self.dropatt)(probs, deterministic=deterministic)
+
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, h * d)
+        out = nn.Dense(self.d_model, use_bias=False, name="o")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=1e-5, name="ln")(x + out)
+
+
+class ConvFFN(nn.Module):
+    """Position-wise conv-k FFN, post-LN residual block (reference
+    `PositionwiseConvFF`, transformer.py:51-90)."""
+    d_model: int
+    d_inner: int
+    kernel_size: int = 3
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        y = nn.Conv(self.d_inner, (self.kernel_size,), padding="SAME",
+                    name="conv1")(x)
+        y = nn.relu(y)
+        y = nn.Conv(self.d_model, (self.kernel_size,), padding="SAME",
+                    name="conv2")(y)
+        y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=1e-5, name="ln")(x + y)
+
+
+class FFTBlock(nn.Module):
+    """One transformer layer: masked self-attention + conv FFN, with the
+    reference's mask-multiplies after each sublayer (transformer.py:172-177).
+    """
+    n_head: int
+    d_model: int
+    d_head: int
+    d_inner: int
+    kernel_size: int
+    dropout: float
+    dropatt: float
+
+    @nn.compact
+    def __call__(self, x, mask, *, deterministic: bool = True):
+        m = mask[..., None].astype(x.dtype)
+        x = SelfAttention(self.n_head, self.d_model, self.d_head,
+                          self.dropout, self.dropatt, name="attn")(
+            x, mask, deterministic=deterministic)
+        x = x * m
+        x = ConvFFN(self.d_model, self.d_inner, self.kernel_size,
+                    self.dropout, name="ff")(x, deterministic=deterministic)
+        return x * m
+
+
+class FFTransformer(nn.Module):
+    """Stack of FFT blocks with sinusoidal positions; optionally owns the
+    token embedding (reference `FFTransformer`, transformer.py:180-225)."""
+    n_layer: int
+    n_head: int
+    d_model: int
+    d_head: int
+    d_inner: int
+    kernel_size: int
+    dropout: float
+    dropatt: float
+    dropemb: float = 0.0
+    embed_input: bool = False
+    n_embed: Optional[int] = None
+    padding_idx: int = 0
+
+    def setup(self):
+        if self.embed_input:
+            self.word_emb = nn.Embed(self.n_embed, self.d_model,
+                                     name="word_emb")
+        self.blocks = [
+            FFTBlock(self.n_head, self.d_model, self.d_head, self.d_inner,
+                     self.kernel_size, self.dropout, self.dropatt,
+                     name=f"layer_{i}")
+            for i in range(self.n_layer)
+        ]
+        self.emb_drop = nn.Dropout(self.dropemb)
+
+    def __call__(self, inputs, seq_lens=None, conditioning=0.0, *,
+                 deterministic: bool = True):
+        """inputs: int tokens [B, T] (embed_input) or features [B, T, C].
+        Returns (out [B, T, C], mask [B, T] bool)."""
+        if self.embed_input:
+            x = self.word_emb(inputs)
+            mask = inputs != self.padding_idx
+        else:
+            x = inputs
+            mask = sequence_mask(seq_lens, x.shape[1])
+
+        pos = jnp.asarray(sinusoidal_positions(x.shape[1], self.d_model))
+        x = x + pos[None] * mask[..., None].astype(x.dtype) + conditioning
+        x = self.emb_drop(x, deterministic=deterministic)
+        for block in self.blocks:
+            x = block(x, mask, deterministic=deterministic)
+        return x, mask
+
+    def embed_tokens(self, inputs):
+        return self.word_emb(inputs)
+
+
+class ConvReLUNorm(nn.Module):
+    """Conv -> ReLU -> LayerNorm -> Dropout (reference `ConvReLUNorm`,
+    model.py:45-57)."""
+    channels: int
+    kernel_size: int = 3
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        x = nn.Conv(self.channels, (self.kernel_size,), padding="SAME",
+                    name="conv")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln")(nn.relu(x))
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class TemporalPredictor(nn.Module):
+    """Per-position scalar predictor head (reference `TemporalPredictor`,
+    model.py:114-133)."""
+    filter_size: int
+    kernel_size: int = 3
+    dropout: float = 0.1
+    n_layers: int = 2
+    n_predictions: int = 1
+
+    @nn.compact
+    def __call__(self, x, mask, *, deterministic: bool = True):
+        m = mask[..., None].astype(x.dtype)
+        y = x * m
+        for i in range(self.n_layers):
+            y = ConvReLUNorm(self.filter_size, self.kernel_size, self.dropout,
+                             name=f"layer_{i}")(y, deterministic=deterministic)
+        y = nn.Dense(self.n_predictions, name="fc")(y)
+        return y * m

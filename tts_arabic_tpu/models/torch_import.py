@@ -1,0 +1,179 @@
+"""PyTorch -> flax parameter import for the reference checkpoints.
+
+Maps reference state_dict keys (NVIDIA FastPitch layout,
+`models/fastpitch/fastpitch/model.py`; HiFi-GAN layout,
+`vocoder/hifigan/models.py`) onto our flax pytrees. Conventions:
+
+- torch Linear weight [out, in]       -> Dense kernel [in, out] (transpose)
+- torch Conv1d weight [out, in, k]    -> Conv kernel [k, in, out]
+- torch ConvTranspose1d [in, out, k]  -> our transposed-conv kernel
+  [k, in, out], flipped along k (op-ready for the lhs-dilated convolution in
+  vocoder/hifigan.py::conv_transpose_1d)
+- LayerNorm weight/bias               -> scale/bias
+- Embedding weight                    -> embedding
+
+Weight-norm parametrizations (HiFi-GAN) are folded:
+w = g * v / ||v||  (the reference removes weight norm at load time,
+`vocoder/__init__.py:19`).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _dense(sd, prefix):
+    out = {"kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _dense_nobias(sd, prefix):
+    return {"kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T)}
+
+
+def _conv1d(sd, prefix):
+    w = sd[f"{prefix}.weight"]  # [out, in, k]
+    out = {"kernel": np.ascontiguousarray(w.transpose(2, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _embed(sd, prefix):
+    return {"embedding": sd[f"{prefix}.weight"]}
+
+
+def _fft_layer(sd, p):
+    return {
+        "attn": {
+            "qkv": _dense(sd, f"{p}.dec_attn.qkv_net"),
+            "o": _dense_nobias(sd, f"{p}.dec_attn.o_net"),
+            "ln": _ln(sd, f"{p}.dec_attn.layer_norm"),
+        },
+        "ff": {
+            "conv1": _conv1d(sd, f"{p}.pos_ff.CoreNet.0"),
+            "conv2": _conv1d(sd, f"{p}.pos_ff.CoreNet.2"),
+            "ln": _ln(sd, f"{p}.pos_ff.layer_norm"),
+        },
+    }
+
+
+def _fft_stack(sd, prefix, n_layers, embed=False):
+    out = {f"layer_{i}": _fft_layer(sd, f"{prefix}.layers.{i}")
+           for i in range(n_layers)}
+    if embed:
+        out["word_emb"] = _embed(sd, f"{prefix}.word_emb")
+    return out
+
+
+def _predictor(sd, prefix, n_layers=2):
+    out = {f"layer_{i}": {
+        "conv": _conv1d(sd, f"{prefix}.layers.{i}.conv"),
+        "ln": _ln(sd, f"{prefix}.layers.{i}.norm"),
+    } for i in range(n_layers)}
+    out["fc"] = _dense(sd, f"{prefix}.fc")
+    return out
+
+
+def fastpitch_params_from_torch(sd: dict, config) -> dict:
+    """Reference FastPitch state_dict -> our flax params tree.
+
+    `sd` is a flat {key: ndarray} (use runtime.load_torch_state_dict).
+    The unused `attention.attn_proj` conv (attention.py:96; never called in
+    forward) is dropped.
+    """
+    params = {
+        "encoder": _fft_stack(sd, "encoder", config.enc_n_layers, embed=True),
+        "decoder": _fft_stack(sd, "decoder", config.dec_n_layers),
+        "duration_predictor": _predictor(sd, "duration_predictor",
+                                         config.dur_n_layers),
+        "pitch_predictor": _predictor(sd, "pitch_predictor",
+                                      config.pitch_n_layers),
+        "pitch_emb": _conv1d(sd, "pitch_emb"),
+        "proj": _dense(sd, "proj"),
+        "attention": {
+            "key_conv1": _conv1d(sd, "attention.key_proj.0.conv"),
+            "key_conv2": _conv1d(sd, "attention.key_proj.2.conv"),
+            "query_conv1": _conv1d(sd, "attention.query_proj.0.conv"),
+            "query_conv2": _conv1d(sd, "attention.query_proj.2.conv"),
+            "query_conv3": _conv1d(sd, "attention.query_proj.4.conv"),
+        },
+        "pitch_mean": sd.get("pitch_mean", np.zeros(1, np.float32)),
+        "pitch_std": sd.get("pitch_std", np.zeros(1, np.float32)),
+    }
+    if config.energy_conditioning:
+        params["energy_predictor"] = _predictor(sd, "energy_predictor",
+                                                config.energy_n_layers)
+        params["energy_emb"] = _conv1d(sd, "energy_emb")
+    if config.n_speakers > 1 and "speaker_emb.weight" in sd:
+        params["speaker_emb"] = _embed(sd, "speaker_emb")
+    return {"params": params}
+
+
+# --- HiFi-GAN ---------------------------------------------------------------
+
+def _fold_weight_norm(sd: dict) -> dict:
+    """Fold weight-norm parametrizations into plain weights.
+
+    Handles both layouts: modern `parametrizations.weight.original0/1`
+    (g, v) and legacy `weight_g`/`weight_v`.
+    """
+    out = {}
+    done = set()
+    for key in sd:
+        if key in done:
+            continue
+        if key.endswith("parametrizations.weight.original0"):
+            base = key[: -len("parametrizations.weight.original0")]
+            g = sd[key]
+            v = sd[base + "parametrizations.weight.original1"]
+            done.add(base + "parametrizations.weight.original1")
+            norm = np.sqrt((v.reshape(v.shape[0], -1) ** 2).sum(1))
+            out[base + "weight"] = g.reshape(-1, *[1] * (v.ndim - 1)) * v / \
+                norm.reshape(-1, *[1] * (v.ndim - 1))
+        elif key.endswith("weight_g"):
+            base = key[: -len("weight_g")]
+            g, v = sd[key], sd[base + "weight_v"]
+            done.add(base + "weight_v")
+            norm = np.sqrt((v.reshape(v.shape[0], -1) ** 2).sum(1))
+            out[base + "weight"] = g.reshape(-1, *[1] * (v.ndim - 1)) * v / \
+                norm.reshape(-1, *[1] * (v.ndim - 1))
+        elif key.endswith("weight_v") or key.endswith(
+                "parametrizations.weight.original1"):
+            continue
+        else:
+            out[key] = sd[key]
+    return out
+
+
+def hifigan_params_from_torch(sd: dict, config) -> dict:
+    """Reference HiFi-GAN Generator state_dict -> our flax params.
+
+    config: HiFiGANConfig (upsample rates/kernels, resblock kernels,
+    dilations).
+    """
+    sd = _fold_weight_norm(dict(sd))
+    params = {"conv_pre": _conv1d(sd, "conv_pre"),
+              "conv_post": _conv1d(sd, "conv_post")}
+    n_kernels = len(config.resblock_kernel_sizes)
+    for i in range(len(config.upsample_rates)):
+        w = sd[f"ups.{i}.weight"]  # torch ConvT layout [in, out, k]
+        # op-ready layout for conv_transpose_1d: [k, in, out], flipped along k
+        params[f"up_{i}"] = {
+            "kernel": np.ascontiguousarray(w.transpose(2, 0, 1)[::-1]),
+            "bias": sd[f"ups.{i}.bias"],
+        }
+        for j in range(n_kernels):
+            ridx = i * n_kernels + j
+            block = {}
+            n_d = len(config.resblock_dilation_sizes[j])
+            for d in range(n_d):
+                block[f"conv1_{d}"] = _conv1d(sd, f"resblocks.{ridx}.convs1.{d}")
+                block[f"conv2_{d}"] = _conv1d(sd, f"resblocks.{ridx}.convs2.{d}")
+            params[f"res_{i}_{j}"] = block
+    return {"params": params}

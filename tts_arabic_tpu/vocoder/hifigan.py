@@ -1,0 +1,179 @@
+"""HiFi-GAN vocoder (flax): mel [B, T, 80] -> waveform [B, T*256].
+
+Re-implementation of the reference generator (`vocoder/hifigan/models.py:
+86-136`): conv_pre k7 -> 4 stages of [leaky-relu -> transposed-conv upsample
+(rates 8,8,2,2) -> multi-receptive-field fusion of 3 ResBlocks (k 3/7/11,
+dilations 1/3/5) averaged] -> leaky-relu -> conv_post k7 -> tanh.
+
+TPU notes: layout is feature-last so every conv is an [T, C_in] x [k, C_in,
+C_out] contraction on the MXU; transposed convs are expressed as
+lhs-dilated convolutions (XLA's native form); weight norm is folded into
+plain weights at import (the reference also removes it at load,
+`vocoder/__init__.py:19`). The whole generator jits as one fused program and
+is batched — unlike the reference's per-sample vocoder loop
+(`models/fastpitch/networks.py:340-345`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+LRELU_SLOPE = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class HiFiGANConfig:
+    resblock: str = "1"
+    upsample_rates: Tuple[int, ...] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = (
+        (1, 3, 5), (1, 3, 5), (1, 3, 5))
+    num_mels: int = 80
+    sampling_rate: int = 22050
+
+    @property
+    def hop_length(self) -> int:
+        out = 1
+        for r in self.upsample_rates:
+            out *= r
+        return out
+
+    @classmethod
+    def from_json(cls, path) -> "HiFiGANConfig":
+        with open(path) as f:
+            h = json.load(f)
+        return cls(
+            resblock=str(h.get("resblock", "1")),
+            upsample_rates=tuple(h["upsample_rates"]),
+            upsample_kernel_sizes=tuple(h["upsample_kernel_sizes"]),
+            upsample_initial_channel=h["upsample_initial_channel"],
+            resblock_kernel_sizes=tuple(h["resblock_kernel_sizes"]),
+            resblock_dilation_sizes=tuple(
+                tuple(d) for d in h["resblock_dilation_sizes"]),
+            num_mels=h.get("num_mels", 80),
+            sampling_rate=h.get("sampling_rate", 22050),
+        )
+
+
+def conv_transpose_1d(x, kernel, bias, stride: int, padding: int):
+    """torch-semantics ConvTranspose1d on feature-last input.
+
+    x: [B, T, C_in]; kernel: [k, C_in, C_out] (pre-flipped along k by the
+    importer); output [B, (T-1)*stride - 2*padding + k, C_out].
+    Expressed as an lhs-dilated convolution, XLA's native transposed-conv
+    form (tiles directly onto the MXU).
+    """
+    k = kernel.shape[0]
+    y = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    return y + bias
+
+
+class TransposedConv1d(nn.Module):
+    features: int
+    kernel_size: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.normal(0.01),
+            (k, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return conv_transpose_1d(x, kernel, bias, self.stride,
+                                 (k - self.stride) // 2)
+
+
+class ResBlock1(nn.Module):
+    """Dilated residual block (reference `ResBlock1`, models.py:22-59)."""
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        for d in range(len(self.dilations)):
+            y = nn.leaky_relu(x, LRELU_SLOPE)
+            y = nn.Conv(self.channels, (self.kernel_size,),
+                        kernel_dilation=(self.dilations[d],), padding="SAME",
+                        name=f"conv1_{d}")(y)
+            y = nn.leaky_relu(y, LRELU_SLOPE)
+            y = nn.Conv(self.channels, (self.kernel_size,), padding="SAME",
+                        name=f"conv2_{d}")(y)
+            x = x + y
+        return x
+
+
+class ResBlock2(nn.Module):
+    """2-conv variant (reference `ResBlock2`, models.py:62-79)."""
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x):
+        for d in range(len(self.dilations)):
+            y = nn.leaky_relu(x, LRELU_SLOPE)
+            y = nn.Conv(self.channels, (self.kernel_size,),
+                        kernel_dilation=(self.dilations[d],), padding="SAME",
+                        name=f"conv1_{d}")(y)
+            x = x + y
+        return x
+
+
+class Generator(nn.Module):
+    config: HiFiGANConfig = HiFiGANConfig()
+
+    @nn.compact
+    def __call__(self, mel):
+        """mel: [B, T, num_mels] -> waveform [B, T*hop]."""
+        c = self.config
+        res_cls = ResBlock1 if c.resblock == "1" else ResBlock2
+        x = nn.Conv(c.upsample_initial_channel, (7,), padding="SAME",
+                    name="conv_pre")(mel)
+        for i, (u, k) in enumerate(zip(c.upsample_rates,
+                                       c.upsample_kernel_sizes)):
+            ch = c.upsample_initial_channel // (2 ** (i + 1))
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            x = TransposedConv1d(ch, k, u, name=f"up_{i}")(x)
+            acc = None
+            for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
+                                             c.resblock_dilation_sizes)):
+                y = res_cls(ch, rk, rd, name=f"res_{i}_{j}")(x)
+                acc = y if acc is None else acc + y
+            x = acc / len(c.resblock_kernel_sizes)
+        # final activation uses torch's default 0.01 slope in the reference
+        # (models.py:123) — kept for checkpoint parity
+        x = nn.leaky_relu(x, 0.01)
+        x = nn.Conv(1, (7,), padding="SAME", name="conv_post")(x)
+        return jnp.tanh(x).squeeze(-1)
+
+
+def generator_flops_per_frame(config: HiFiGANConfig = HiFiGANConfig()) -> int:
+    """Rough MAC count per mel frame (for bench roofline estimates)."""
+    c = config
+    total = 7 * c.num_mels * c.upsample_initial_channel
+    t_mult = 1
+    ch_in = c.upsample_initial_channel
+    for i, (u, k) in enumerate(zip(c.upsample_rates, c.upsample_kernel_sizes)):
+        ch = c.upsample_initial_channel // (2 ** (i + 1))
+        t_mult *= u
+        total += t_mult * k * ch_in * ch // u
+        for rk, rd in zip(c.resblock_kernel_sizes, c.resblock_dilation_sizes):
+            total += t_mult * 2 * len(rd) * rk * ch * ch
+        ch_in = ch
+    total += t_mult * 7 * ch_in
+    return 2 * total
