@@ -1,0 +1,77 @@
+"""RTF benchmark: FastPitch + HiFi-GAN end-to-end synthesis on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: real-time factor = audio seconds generated per wall-clock second
+(the BASELINE.md north-star target is >200x per chip). The run synthesizes
+the reference's 99 held-out prompts (`data/infer_text.txt`) through the full
+pipeline — tokenize -> encoder jit -> decoder+vocoder(+denoiser) jit —
+at batch size 16, steady-state (post-compile) timing.
+
+Weights are random (the reference publishes no checkpoints) with the
+duration head biased to a realistic ~6.5 frames/token so synthesized audio
+lengths match real speech; compute cost is identical to trained weights.
+"""
+import json
+import pathlib
+import re
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from tts_arabic_tpu.infer import FastPitch2Wave
+
+    root = pathlib.Path(__file__).resolve().parent
+    label = re.compile(r'"[^"]+"\s+"(?P<text>[^"]+)"')
+    lines = []
+    for line in (root / "data" / "infer_text.txt").read_text().splitlines():
+        m = label.match(line)
+        lines.append(m.group("text") if m else line)
+    lines = [l for l in lines if l.strip()]
+
+    pipe = FastPitch2Wave(seed=0, arabic_in=False)
+    # random init predicts ~0 frames/token; bias to ~6.5 (realistic Arabic
+    # speech rate at 86 fps) so the benchmark shapes match production
+    fc = pipe.model.variables["params"]["duration_predictor"]["fc"]
+    fc["bias"] = fc["bias"] + 2.0
+
+    batch_size = 16
+    sr = pipe.sample_rate
+
+    def run_all():
+        total_samples = 0
+        for k in range(0, len(lines), batch_size):
+            waves = pipe.tts_batch(lines[k: k + batch_size], denoise=0.005)
+            total_samples += sum(len(w) for w in waves)
+        return total_samples
+
+    # warmup: compile every (text-bucket, mel-bucket) signature
+    t0 = time.perf_counter()
+    total = run_all()
+    warm = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    total = run_all()
+    elapsed = time.perf_counter() - t0
+
+    audio_sec = total / sr
+    rtf = audio_sec / elapsed
+    result = {
+        "metric": "rtf_fastpitch_hifigan_e2e",
+        "value": round(rtf, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf / 200.0, 3),
+    }
+    print(json.dumps(result))
+    print(f"# {len(lines)} prompts, {audio_sec:.1f}s audio, "
+          f"{elapsed:.2f}s wall (warmup {warm:.1f}s), "
+          f"platform={jax.devices()[0].platform}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

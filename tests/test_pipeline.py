@@ -1,0 +1,100 @@
+"""End-to-end pipeline tests (random weights): tts()/ttmel() API surface."""
+import numpy as np
+import pytest
+
+from tts_arabic_tpu.infer import FastPitch2Wave, FastPitchTTS
+
+ARABIC = "ذَهَبَ الوَلَدُ إِلى المَدرَسَةِ"
+BUCKW = "*ahaba Alwaladu <ilaY Almadrasapi"
+
+
+def _bias_durations(p, bias=1.5):
+    """Random-init FastPitch predicts ~exp(0)-1 = 0 frames per token; nudge
+    the duration head so synthesis produces non-trivial lengths."""
+    import jax.numpy as jnp
+    fc = p.model.variables["params"]["duration_predictor"]["fc"]
+    fc["bias"] = fc["bias"] + bias
+    return p
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return _bias_durations(FastPitch2Wave(seed=0))
+
+
+def test_ttmel_single(pipe):
+    mel = pipe.model.ttmel_single(ARABIC)
+    assert mel.ndim == 2 and mel.shape[0] == 80
+    assert mel.shape[1] > 10
+    assert np.isfinite(mel).all()
+
+
+def test_ttmel_batch_matches_single(pipe):
+    # Texts chosen to share the same text/mel buckets: like the reference,
+    # the FFN's stacked convs make outputs depend slightly on padded length
+    # (reference transformer.py:59-65 has the same property), so exact
+    # batch==single equality holds within a bucket.
+    texts = ["صِفر", "واحِد", "إِثنان"]
+    mels_b = pipe.model.ttmel(texts, batch_size=3)
+    mels_s = [pipe.model.ttmel_single(t) for t in texts]
+    assert len(mels_b) == 3
+    for mb, ms in zip(mels_b, mels_s):
+        assert mb.shape == ms.shape
+        np.testing.assert_allclose(mb, ms, atol=2e-4)
+
+
+def test_tts_single_wave(pipe):
+    wave = pipe.tts(ARABIC, denoise=0.0)
+    assert wave.ndim == 1 and len(wave) % 256 == 0
+    assert np.isfinite(wave).all() and np.abs(wave).max() <= 1.0
+
+
+def test_tts_buckwalter_input(pipe):
+    w_ar = pipe.tts(ARABIC, denoise=0.0)
+    bw_pipe = _bias_durations(FastPitch2Wave(seed=0, arabic_in=False))
+    w_bw = bw_pipe.tts(BUCKW, denoise=0.0)
+    assert w_ar.shape == w_bw.shape
+    np.testing.assert_allclose(w_ar, w_bw, atol=1e-5)
+
+
+def test_tts_denoise_and_return_mel(pipe):
+    wave, mel = pipe.tts(ARABIC, denoise=0.005, return_mel=True)
+    assert mel.shape[0] == 80
+    assert len(wave) == mel.shape[1] * 256
+    # flax zero-init biases make a random generator map zero-mel -> 0, so
+    # the learned bias spectrum is empty here; inject a synthetic one to
+    # exercise the spectral-subtraction path
+    import jax.numpy as jnp
+    pipe.bias_spec = jnp.ones_like(pipe.bias_spec) * 0.05
+    try:
+        denoised = pipe.tts(ARABIC, denoise=1.0)
+        raw = pipe.tts(ARABIC, denoise=0.0)
+        assert denoised.shape == raw.shape
+        assert not np.allclose(denoised, raw)
+    finally:
+        pipe.bias_spec = jnp.zeros_like(pipe.bias_spec)
+
+
+def test_tts_batch_and_speed(pipe):
+    texts = ["صِفر", "واحِد", "إِثنان"]
+    waves = pipe.tts(texts, batch_size=2, denoise=0.0)
+    assert len(waves) == 3
+    fast = pipe.tts(texts[0], speed=2.0, denoise=0.0)
+    slow = pipe.tts(texts[0], speed=0.5, denoise=0.0)
+    assert len(fast) < len(slow)
+
+
+def test_tts_pitch_controls(pipe):
+    base = pipe.tts(ARABIC, denoise=0.0)
+    shifted = pipe.tts(ARABIC, denoise=0.0, pitch_add=1.0)
+    # pitch shift changes the pitch conditioning -> different waveform
+    assert not np.allclose(base[: len(shifted)], shifted[: len(base)])
+
+
+def test_speaker_id_multispeaker():
+    from tts_arabic_tpu.models.fastpitch import FastPitchConfig
+    cfg = FastPitchConfig(n_speakers=4)
+    pipe = _bias_durations(FastPitch2Wave(seed=0, config=cfg))
+    w0 = pipe.tts(ARABIC, denoise=0.0, speaker_id=0)
+    w2 = pipe.tts(ARABIC, denoise=0.0, speaker_id=2)
+    assert not (len(w0) == len(w2) and np.allclose(w0, w2))

@@ -1,0 +1,75 @@
+"""Tacotron2 pipeline tests (random weights, small config)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tts_arabic_tpu.infer import Tacotron2Wave
+from tts_arabic_tpu.infer.tacotron_pipeline import (needs_postprocessing,
+                                                    resize_mel, truncate_mel)
+from tts_arabic_tpu.models.tacotron2 import Tacotron2Config
+
+SMALL = Tacotron2Config(
+    n_symbols=40, symbol_embedding_dim=32, encoder_embedding_dim=32,
+    num_speakers=1, decoder_rnn_dim=48, attention_rnn_dim=48,
+    attention_hidden_dim=16, attention_location_n_filters=4,
+    attention_location_kernel_size=7, prenet_dim=16,
+    postnet_embedding_dim=32, postnet_n_convolutions=3, n_mels=80,
+    decoder_max_step=96)
+
+ARABIC = "ذَهَبَ الوَلَدُ"
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    p = Tacotron2Wave(seed=0, config=SMALL)
+    p.model.decoder_max_step = 96
+    # random gates hover near 0.5; push below threshold so decoding runs,
+    # and rely on max_steps to stop
+    p.model.variables["params"]["gate_layer"]["bias"] = jnp.asarray([-2.0])
+    return p
+
+
+def test_ttmel_single(pipe):
+    mel = pipe.model.ttmel_single(ARABIC)
+    assert mel.ndim == 2 and mel.shape[0] == 80
+    assert 1 <= mel.shape[1] <= 96 + 3
+    assert np.isfinite(mel).all()
+
+
+def test_tts_wave_and_batch(pipe):
+    waves = pipe.tts([ARABIC, "صِفر"], batch_size=2, denoise=0.0)
+    assert len(waves) == 2
+    for w in waves:
+        assert w.ndim == 1 and len(w) % 256 == 0 and np.isfinite(w).all()
+
+
+def test_speed_resize(pipe):
+    slow = pipe.model.ttmel_single(ARABIC, speed=0.5)
+    fast = pipe.model.ttmel_single(ARABIC, speed=2.0)
+    # same utterance decoded once; resize changes frame count inversely
+    assert slow.shape[1] > fast.shape[1]
+
+
+def test_needs_postprocessing_rules():
+    assert not needs_postprocessing("a")
+    assert not needs_postprocessing("m")
+    assert needs_postprocessing("b")
+    assert needs_postprocessing("_+_")
+
+
+def test_truncate_mel():
+    mel = np.arange(80 * 20, dtype=np.float32).reshape(80, 20)
+    attn = np.zeros(20, np.float32)
+    attn[12:] = 1.0
+    cut = truncate_mel(mel, attn)
+    assert cut.shape[1] == 12 + 3
+    np.testing.assert_array_equal(cut[:, -1], cut[:, -4])  # replicate pad
+
+
+def test_resize_mel_identity_and_rate():
+    mel = np.random.default_rng(0).standard_normal((80, 40)).astype(
+        np.float32)
+    assert resize_mel(mel, 1.0) is mel
+    out = resize_mel(mel, 2.0)
+    assert out.shape == (80, 20)

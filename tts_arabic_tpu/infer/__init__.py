@@ -1,0 +1,5 @@
+"""Inference API: TTS pipelines."""
+from .pipeline import FastPitch2Wave, FastPitchTTS
+from .tacotron_pipeline import Tacotron2TTS, Tacotron2Wave
+
+__all__ = ["FastPitch2Wave", "FastPitchTTS", "Tacotron2TTS", "Tacotron2Wave"]

@@ -1,0 +1,316 @@
+"""Tacotron2 inference pipelines: `Tacotron2TTS.ttmel()` /
+`Tacotron2Wave.tts()`.
+
+Capability parity with the reference wrappers
+(`models/tacotron2/networks.py:70-426`): EOS-aware mel postprocessing (insert
+an extra separator token when the final real token is "unsafe", then truncate
+the mel where that token's attention first peaks — `needs_postprocessing`/
+`truncate_mel`, networks.py:39-49), speed control via bicubic mel resize
+(`resize_mel`, networks.py:52-67), vowelizer hooks, batched synthesis
+(default batch_size 8), HiFi-GAN + denoiser vocoding.
+
+TPU execution: the autoregressive decode is ONE compiled `lax.while_loop`
+with early exit (static decoder_max_step bound), one signature per
+(batch, text-bucket); vocoding reuses the chunked HiFi-GAN path with a
+bucketed mel length.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import text as text_frontend
+from ..models.tacotron2 import Tacotron2, Tacotron2Config
+from ..models.torch_import import (hifigan_params_from_torch,
+                                   tacotron2_params_from_torch)
+from ..runtime.checkpoint import load_states, load_torch_state_dict
+from ..vocoder import denoiser as denoiser_mod
+from ..vocoder.hifigan import Generator, HiFiGANConfig, chunked_vocode
+from .pipeline import (LOG_MEL_PAD, MEL_BUCKETS, TEXT_BUCKET, _pad_ids,
+                       _pick_mel_bucket, _round_up)
+
+# tokens whose trailing sound tends to get cut by the stop token; after these
+# the reference inserts an extra separator and truncates on its attention
+# (networks.py:39-41)
+_SAFE_FINAL_TOKENS = frozenset(
+    ["a", "i", "u", "aa", "ii", "uu", "n", "m", "h"])
+N_EOS = len(text_frontend.EOS_TOKENS)  # separator + eos
+
+
+def needs_postprocessing(token: str) -> bool:
+    return token not in _SAFE_FINAL_TOKENS
+
+
+def truncate_mel(mel: np.ndarray, attn_col: np.ndarray) -> np.ndarray:
+    """Crop [n_mels, T] where the end-marker token's attention first reaches
+    80% of its max; pad 3 replicated frames (networks.py:44-49)."""
+    peak = attn_col.max()
+    idx = np.flatnonzero(attn_col >= 0.8 * peak)
+    n_end = int(idx[0]) if idx.size else mel.shape[1]
+    cut = mel[:, :max(n_end, 1)]
+    return np.concatenate([cut, np.repeat(cut[:, -1:], 3, axis=1)], axis=1)
+
+
+def resize_mel(mel: np.ndarray, rate: float = 1.0) -> np.ndarray:
+    """Speed control by cubic time-axis resize of [n_mels, T]
+    (networks.py:52-67; torch bicubic -> jax.image cubic)."""
+    n_mels, T = mel.shape
+    T_new = int(T / rate)
+    if T_new == T:
+        return mel
+    out = jax.image.resize(jnp.asarray(mel), (n_mels, T_new), method="cubic")
+    return np.asarray(out)
+
+
+class Tacotron2TTS:
+    """Text -> mel via autoregressive Tacotron2 (reference `Tacotron2`
+    wrapper equivalent)."""
+
+    def __init__(self, checkpoint=None, config: Tacotron2Config | None = None,
+                 arabic_in: bool = True, vowelizer: Optional[str] = None,
+                 decoder_max_step: int = 3000, seed: int = 0):
+        self.arabic_in = arabic_in
+        self.default_vowelizer = vowelizer
+        self._vowelizers = {}
+        self.phon_to_id = None
+        self.decoder_max_step = decoder_max_step
+
+        variables = None
+        if checkpoint is not None:
+            variables, config = self._load_checkpoint(checkpoint, config)
+        self.config = config or Tacotron2Config()
+        self.model = Tacotron2(self.config)
+        if variables is None:
+            rng = np.random.default_rng(seed)
+            tokens = jnp.asarray(rng.integers(1, self.config.n_symbols,
+                                              (1, 8)), jnp.int32)
+            lens = jnp.asarray([8], jnp.int32)
+            mel = jnp.zeros((1, 4, self.config.n_mels))
+            variables = self.model.init(jax.random.PRNGKey(seed), tokens,
+                                        lens, mel, jnp.asarray([4]))
+        self.variables = variables
+        self._infer_jit = jax.jit(self._infer_fn,
+                                  static_argnames=("max_steps",))
+
+    def _load_checkpoint(self, checkpoint, config):
+        path = str(checkpoint)
+        if path.endswith(".pth") or path.endswith(".pt"):
+            sd = load_torch_state_dict(path)
+            extras = sd.pop("__extras__", {})
+            if config is None:
+                ref_cfg = extras.get("config") or {}
+                config = Tacotron2Config(**{
+                    k: v for k, v in ref_cfg.items()
+                    if k in Tacotron2Config.__dataclass_fields__})
+            if "symbols" in extras:
+                self.phon_to_id = {p: i for i, p in
+                                   enumerate(extras["symbols"])}
+            return tacotron2_params_from_torch(sd, config), config
+        state = load_states(path)
+        if config is None:
+            cfg_dict = (state.get("config") or {}).get("net_config")
+            config = (Tacotron2Config(**cfg_dict) if cfg_dict
+                      else Tacotron2Config())
+        variables = {"params": state["model"]}
+        if "batch_stats" in state:
+            variables["batch_stats"] = state["batch_stats"]
+        return variables, config
+
+    # -- text frontend (append_space=True, unlike FastPitch) -----------------
+
+    def _vowelize(self, utterance: str, vowelizer: Optional[str]):
+        name = vowelizer or self.default_vowelizer
+        if name is None:
+            return utterance
+        if name not in self._vowelizers:
+            from ..diacritizers import load_vowelizer
+            self._vowelizers[name] = load_vowelizer(name)
+        arabic = text_frontend.buckwalter_to_arabic(utterance)
+        return self._vowelizers[name].predict(arabic)
+
+    def tokenize(self, utterance: str, vowelizer: Optional[str] = None):
+        utterance = self._vowelize(utterance, vowelizer)
+        if self.arabic_in:
+            return text_frontend.arabic_to_tokens(utterance)
+        return text_frontend.buckwalter_to_tokens(utterance)
+
+    # -- jitted inference ----------------------------------------------------
+
+    def _infer_fn(self, variables, tokens, token_lens, speaker_ids, rng, *,
+                  max_steps):
+        return self.model.apply(variables, tokens, token_lens, speaker_ids,
+                                max_steps=max_steps, rng=rng,
+                                method=Tacotron2.infer)
+
+    def _infer_batch(self, tokens_list: List[List[str]], speaker_id: int,
+                     pad_to=None, rng=None):
+        """Token lists -> (mel_postnet [B,S,80], lens, aligns, inverse)."""
+        n_real = len(tokens_list)
+        ids_list = [np.asarray(text_frontend.tokens_to_ids(t, self.phon_to_id),
+                               np.int32) for t in tokens_list]
+        lens = np.asarray([len(x) for x in ids_list])
+        order = np.argsort(-lens)
+        ids_sorted = [ids_list[i] for i in order]
+        lens_sorted = lens[order]
+        if pad_to is not None and n_real < pad_to:
+            ids_sorted = list(ids_sorted) + [np.zeros(1, np.int32)] * (
+                pad_to - n_real)
+            lens_sorted = np.concatenate(
+                [lens_sorted, np.ones(pad_to - n_real, np.int64)])
+        padded = _pad_ids(ids_sorted, _round_up(int(lens.max()), TEXT_BUCKET))
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        out = self._infer_jit(
+            self.variables, jnp.asarray(padded),
+            jnp.asarray(lens_sorted, jnp.int32),
+            jnp.full((padded.shape[0],), speaker_id, jnp.int32), rng,
+            max_steps=self.decoder_max_step)
+        inverse = np.argsort(order)
+        return (np.asarray(out["mel_postnet"]), np.asarray(out["mel_lens"]),
+                np.asarray(out["alignments"]), lens, inverse)
+
+    # -- public API ----------------------------------------------------------
+
+    def ttmel_batch(self, batch: List[str], speaker_id: int = 0,
+                    speed: Optional[float] = None,
+                    vowelizer: Optional[str] = None,
+                    postprocess_mel: bool = True, pad_to=None):
+        tokens_list = [self.tokenize(t, vowelizer) for t in batch]
+        do_post = []
+        for toks in tokens_list:
+            p = postprocess_mel and needs_postprocessing(toks[-N_EOS - 1])
+            if p:
+                toks.insert(-N_EOS, text_frontend.SEPARATOR)
+            do_post.append(p)
+
+        mel_post, mel_lens, aligns, lens, inverse = self._infer_batch(
+            tokens_list, speaker_id, pad_to)
+
+        mels = []
+        for j, i in enumerate(inverse):
+            L = mel_lens[i]
+            mel = mel_post[i, :L].T  # [n_mels, T]
+            if do_post[j]:
+                tok_len = len(tokens_list[j])
+                attn_col = aligns[i, :L, tok_len - N_EOS - 1]
+                mel = truncate_mel(mel, attn_col)
+            if speed is not None:
+                mel = resize_mel(mel, rate=speed)
+            mels.append(mel)
+        return mels
+
+    def ttmel_single(self, utterance: str, **kw):
+        return self.ttmel_batch([utterance], **kw)[0]
+
+    def ttmel(self, text_input: Union[str, List[str]], speaker_id: int = 0,
+              speed: Optional[float] = None, batch_size: int = 1,
+              vowelizer: Optional[str] = None, postprocess_mel: bool = True):
+        kw = dict(speaker_id=speaker_id, speed=speed, vowelizer=vowelizer,
+                  postprocess_mel=postprocess_mel)
+        if isinstance(text_input, str):
+            return self.ttmel_single(text_input, **kw)
+        out = []
+        bs = max(batch_size, 1)
+        for k in range(0, len(text_input), bs):
+            out += self.ttmel_batch(text_input[k: k + bs], pad_to=bs, **kw)
+        return out
+
+
+class Tacotron2Wave:
+    """End-to-end autoregressive text -> waveform (reference `Tacotron2Wave`
+    equivalent, networks.py:256-426)."""
+
+    def __init__(self, model_sd_path=None, vocoder_sd=None,
+                 vocoder_config=None, vowelizer: Optional[str] = None,
+                 arabic_in: bool = True, config=None, seed: int = 0):
+        self.model = Tacotron2TTS(model_sd_path, config=config,
+                                  arabic_in=arabic_in, vowelizer=vowelizer,
+                                  seed=seed)
+        if vocoder_config is not None:
+            self.vocoder_config = HiFiGANConfig.from_json(vocoder_config)
+        else:
+            self.vocoder_config = HiFiGANConfig()
+        self.vocoder = Generator(self.vocoder_config)
+        if vocoder_sd is not None:
+            sd = load_torch_state_dict(vocoder_sd)
+            sd.pop("__extras__", None)
+            self.vocoder_vars = hifigan_params_from_torch(
+                sd, self.vocoder_config)
+        else:
+            mel = jnp.zeros((1, 16, self.vocoder_config.num_mels))
+            self.vocoder_vars = self.vocoder.init(
+                jax.random.PRNGKey(seed + 1), mel)
+        self.bias_spec = jax.jit(
+            lambda v: denoiser_mod.compute_bias_spec(self.vocoder.apply, v)
+        )(self.vocoder_vars)
+        self._vocode_jit = jax.jit(self._vocode_fn,
+                                   static_argnames=("use_denoiser",))
+
+    @property
+    def sample_rate(self):
+        return self.vocoder_config.sampling_rate
+
+    def _vocode_fn(self, voc_vars, bias_spec, mel, strength, *, use_denoiser):
+        wave = chunked_vocode(self.vocoder.apply, voc_vars, mel,
+                              pad_value=LOG_MEL_PAD)
+        if use_denoiser:
+            wave = denoiser_mod.denoise(wave, bias_spec, strength)
+        return wave
+
+    def tts_batch(self, batch: List[str], speaker_id: int = 0,
+                  speed: Optional[float] = None, denoise: float = 0.0,
+                  vowelizer: Optional[str] = None, pitch_mul=None,
+                  pitch_add=None, postprocess_mel: bool = True,
+                  return_mel: bool = False, pad_to=None):
+        mels = self.model.ttmel_batch(batch, speaker_id=speaker_id,
+                                      speed=speed, vowelizer=vowelizer,
+                                      postprocess_mel=postprocess_mel,
+                                      pad_to=pad_to)
+        # vocode the whole batch at a bucketed length (the reference loops
+        # the vocoder per mel, networks.py:340-345)
+        lens = [m.shape[1] for m in mels]
+        bucket = _pick_mel_bucket(max(lens))
+        stacked = np.full((len(mels), bucket, mels[0].shape[0]), LOG_MEL_PAD,
+                          np.float32)
+        for i, m in enumerate(mels):
+            stacked[i, : m.shape[1]] = m.T
+        wave = np.asarray(self._vocode_jit(
+            self.vocoder_vars, self.bias_spec, jnp.asarray(stacked),
+            jnp.float32(denoise), use_denoiser=denoise > 0))
+        hop = self.vocoder_config.hop_length
+        waves = [wave[i, : lens[i] * hop] for i in range(len(mels))]
+        if return_mel:
+            return waves, mels
+        return waves
+
+    def tts_single(self, utterance: str, **kw):
+        out = self.tts_batch([utterance], **kw)
+        if kw.get("return_mel"):
+            return out[0][0], out[1][0]
+        return out[0]
+
+    def tts(self, text_input: Union[str, List[str]],
+            speed: Optional[float] = None, denoise: float = 0.005,
+            speaker_id: int = 0, batch_size: int = 8,
+            vowelizer: Optional[str] = None, postprocess_mel: bool = True,
+            return_mel: bool = False):
+        """Synthesize speech (API parity with reference `Tacotron2Wave.tts`,
+        networks.py:347-426)."""
+        kw = dict(speed=speed, denoise=denoise, speaker_id=speaker_id,
+                  vowelizer=vowelizer, postprocess_mel=postprocess_mel,
+                  return_mel=return_mel)
+        if isinstance(text_input, str):
+            return self.tts_single(text_input, **kw)
+        waves, mels = [], []
+        bs = max(batch_size, 1)
+        for k in range(0, len(text_input), bs):
+            out = self.tts_batch(text_input[k: k + bs], pad_to=bs, **kw)
+            if return_mel:
+                waves += out[0]
+                mels += out[1]
+            else:
+                waves += out
+        return (waves, mels) if return_mel else waves

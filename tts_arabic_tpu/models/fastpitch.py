@@ -254,6 +254,8 @@ class FastPitch(nn.Module):
     # ---- shared pieces -----------------------------------------------------
 
     def _speaker_vector(self, batch_size: int, speaker):
+        """speaker may be a python int or a traced int scalar (dynamic, so
+        changing speaker_id never recompiles)."""
         if self.config.n_speakers <= 1:
             return 0.0
         sid = jnp.broadcast_to(jnp.asarray(speaker, jnp.int32), (batch_size,))
@@ -279,11 +281,12 @@ class FastPitch(nn.Module):
         dur_pred = jnp.where(enc_mask, dur_pred, 0.0)
 
         pitch_pred = self.pitch_predictor(enc_out, enc_mask)  # [B, T, 1]
-        if pitch_mul != 1.0 or pitch_add != 0.0:
-            mean, std = self.pitch_mean[0], self.pitch_std[0]
-            hz = pitch_pred * std + mean
-            hz = pitch_mul * hz + pitch_add
-            pitch_pred = (hz - mean) / jnp.where(std == 0.0, 1.0, std)
+        # the reference's pitch_trf hook scales the *normalized* pitch
+        # directly (networks.py:38-42). Applied unconditionally with dynamic
+        # scalars (identity at mul=1, add=0) so changing pitch controls never
+        # triggers a recompile.
+        pitch_pred = jnp.asarray(pitch_mul) * pitch_pred + jnp.asarray(
+            pitch_add)
         if pitch_tgt is None:
             pitch_emb = self.pitch_emb(pitch_pred)
         else:

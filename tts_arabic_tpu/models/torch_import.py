@@ -177,3 +177,73 @@ def hifigan_params_from_torch(sd: dict, config) -> dict:
                 block[f"conv2_{d}"] = _conv1d(sd, f"resblocks.{ridx}.convs2.{d}")
             params[f"res_{i}_{j}"] = block
     return {"params": params}
+
+
+# --- Tacotron2 --------------------------------------------------------------
+
+def _lstm_cell(sd, prefix):
+    return {
+        "wi": np.ascontiguousarray(sd[f"{prefix}.weight_ih"].T),
+        "wh": np.ascontiguousarray(sd[f"{prefix}.weight_hh"].T),
+        "bi": sd[f"{prefix}.bias_ih"],
+        "bh": sd[f"{prefix}.bias_hh"],
+    }
+
+
+def _lstm_layer(sd, prefix, suffix=""):
+    return {
+        "wi": np.ascontiguousarray(sd[f"{prefix}.weight_ih_l0{suffix}"].T),
+        "wh": np.ascontiguousarray(sd[f"{prefix}.weight_hh_l0{suffix}"].T),
+        "bi": sd[f"{prefix}.bias_ih_l0{suffix}"],
+        "bh": sd[f"{prefix}.bias_hh_l0{suffix}"],
+    }
+
+
+def _bn(sd, prefix):
+    params = {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+    stats = {"mean": sd[f"{prefix}.running_mean"],
+             "var": sd[f"{prefix}.running_var"]}
+    return params, stats
+
+
+def tacotron2_params_from_torch(sd: dict, config) -> dict:
+    """Reference Tacotron2MS state_dict (torchaudio `_Encoder`/`_Decoder`/
+    `_Postnet` layout, `models/tacotron2/tacotron2_ms.py:113`) -> our flax
+    variables {'params', 'batch_stats'}."""
+    params = {"embedding": _embed(sd, "embedding")}
+    stats = {}
+    for i in range(config.encoder_n_convolutions):
+        params[f"enc_conv_{i}"] = _conv1d(
+            sd, f"encoder.convolutions.{i}.0.conv")
+        params[f"enc_bn_{i}"], stats[f"enc_bn_{i}"] = _bn(
+            sd, f"encoder.convolutions.{i}.1")
+    params["enc_lstm"] = {
+        "fwd": _lstm_layer(sd, "encoder.lstm"),
+        "bwd": _lstm_layer(sd, "encoder.lstm", "_reverse"),
+    }
+    if config.num_speakers > 1 and "speaker_embedding.weight" in sd:
+        params["speaker_embedding"] = _embed(sd, "speaker_embedding")
+
+    params["prenet1"] = _dense_nobias(sd, "decoder.prenet.layers.0.linear_layer")
+    params["prenet2"] = _dense_nobias(sd, "decoder.prenet.layers.1.linear_layer")
+    params["attention_rnn"] = _lstm_cell(sd, "decoder.attention_rnn")
+    params["decoder_rnn"] = _lstm_cell(sd, "decoder.decoder_rnn")
+    params["query_layer"] = _dense_nobias(
+        sd, "decoder.attention_layer.query_layer.linear_layer")
+    params["memory_layer"] = _dense_nobias(
+        sd, "decoder.attention_layer.memory_layer.linear_layer")
+    params["v"] = _dense_nobias(sd, "decoder.attention_layer.v.linear_layer")
+    params["location_conv"] = _conv1d(
+        sd, "decoder.attention_layer.location_layer.location_conv.conv")
+    params["location_dense"] = _dense_nobias(
+        sd, "decoder.attention_layer.location_layer.location_dense.linear_layer")
+    params["linear_projection"] = _dense(
+        sd, "decoder.linear_projection.linear_layer")
+    params["gate_layer"] = _dense(sd, "decoder.gate_layer.linear_layer")
+
+    for i in range(config.postnet_n_convolutions):
+        params[f"post_conv_{i}"] = _conv1d(
+            sd, f"postnet.convolutions.{i}.0.conv")
+        params[f"post_bn_{i}"], stats[f"post_bn_{i}"] = _bn(
+            sd, f"postnet.convolutions.{i}.1")
+    return {"params": params, "batch_stats": stats}

