@@ -34,7 +34,10 @@ def main():
         lines.append(m.group("text") if m else line)
     lines = [l for l in lines if l.strip()]
 
-    pipe = FastPitch2Wave(seed=0, arabic_in=False)
+    import jax.numpy as jnp
+
+    pipe = FastPitch2Wave(seed=0, arabic_in=False,
+                          compute_dtype=jnp.bfloat16)
     # random init predicts ~0 frames/token; bias to ~6.5 (realistic Arabic
     # speech rate at 86 fps) so the benchmark shapes match production
     fc = pipe.model.variables["params"]["duration_predictor"]["fc"]
@@ -44,11 +47,8 @@ def main():
     sr = pipe.sample_rate
 
     def run_all():
-        total_samples = 0
-        for k in range(0, len(lines), batch_size):
-            waves = pipe.tts_batch(lines[k: k + batch_size], denoise=0.005)
-            total_samples += sum(len(w) for w in waves)
-        return total_samples
+        waves = pipe.tts(lines, denoise=0.005, batch_size=batch_size)
+        return sum(len(w) for w in waves)
 
     # warmup: compile every (text-bucket, mel-bucket) signature
     t0 = time.perf_counter()

@@ -84,8 +84,20 @@ def slaney_mel_filterbank(
 # --- STFT / mel compute -----------------------------------------------------
 
 def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
-    """Slice [..., T] into overlapping frames [..., n_frames, frame_length]."""
+    """Slice [..., T] into overlapping frames [..., n_frames, frame_length].
+
+    When hop divides frame_length (1024/256 everywhere here), frames are
+    assembled from r = frame_length/hop shifted views of a hop-blocked
+    reshape — slicing only, no gather (gathers of millions of indices are
+    very slow on TPU).
+    """
     n_frames = 1 + (x.shape[-1] - frame_length) // hop
+    if frame_length % hop == 0:
+        r = frame_length // hop
+        nb = x.shape[-1] // hop
+        blocks = x[..., : nb * hop].reshape(x.shape[:-1] + (nb, hop))
+        parts = [blocks[..., s: s + n_frames, :] for s in range(r)]
+        return jnp.concatenate(parts, axis=-1)
     idx = (
         np.arange(n_frames)[:, None] * hop + np.arange(frame_length)[None, :]
     )

@@ -36,13 +36,31 @@ def stft(
 
 
 def _overlap_add(frames: jnp.ndarray, hop: int, out_len: int) -> jnp.ndarray:
-    """Overlap-add [..., n_frames, frame_len] -> [..., out_len]."""
+    """Overlap-add [..., n_frames, frame_len] -> [..., out_len].
+
+    When hop divides frame_len (the 1024/256 analysis used everywhere here),
+    this is r = flen/hop shifted vector adds — no scatter, which is orders
+    of magnitude faster on TPU than an .at[].add() with millions of indices.
+    """
     n_frames, flen = frames.shape[-2], frames.shape[-1]
+    lead = frames.shape[:-2]
+    if flen % hop == 0:
+        r = flen // hop
+        total = (n_frames - 1) * hop + flen
+        out = jnp.zeros(lead + (total,), frames.dtype)
+        # segment j of every frame lands at offset j*hop of that frame
+        segs = frames.reshape(lead + (n_frames, r, hop))
+        for j in range(r):
+            strip = segs[..., :, j, :].reshape(lead + (n_frames * hop,))
+            out = out.at[..., j * hop: j * hop + n_frames * hop].add(strip)
+        if total < out_len:
+            out = jnp.pad(out, [(0, 0)] * len(lead) + [(0, out_len - total)])
+        return out[..., :out_len]
     idx = (
         np.arange(n_frames)[:, None] * hop + np.arange(flen)[None, :]
     ).reshape(-1)
-    flat = frames.reshape(frames.shape[:-2] + (n_frames * flen,))
-    out = jnp.zeros(frames.shape[:-2] + (out_len,), dtype=frames.dtype)
+    flat = frames.reshape(lead + (n_frames * flen,))
+    out = jnp.zeros(lead + (out_len,), dtype=frames.dtype)
     return out.at[..., idx].add(flat)
 
 

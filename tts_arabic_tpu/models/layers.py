@@ -148,7 +148,8 @@ class FFTransformer(nn.Module):
             x = inputs
             mask = sequence_mask(seq_lens, x.shape[1])
 
-        pos = jnp.asarray(sinusoidal_positions(x.shape[1], self.d_model))
+        pos = jnp.asarray(sinusoidal_positions(x.shape[1], self.d_model),
+                          x.dtype)
         x = x + pos[None] * mask[..., None].astype(x.dtype) + conditioning
         x = self.emb_drop(x, deterministic=deterministic)
         for block in self.blocks:

@@ -164,7 +164,7 @@ class Generator(nn.Module):
 
 
 def chunked_vocode(apply_fn, variables, mel, *, core: int = 224,
-                   overlap: int = 16, slab: int = 32,
+                   overlap: int = 16, slab: int = 64,
                    pad_value: float = -11.512925):
     """Memory-bounded vocoding of long/batched mels via overlap-discard.
 
@@ -206,12 +206,18 @@ def chunked_vocode(apply_fn, variables, mel, *, core: int = 224,
     hop = waves.shape[-1] // window
     waves = waves.reshape(B, n_chunks, window * hop)
 
-    # static gather: output sample j comes from chunk j//(core*hop) at
-    # in-window offset core_off*hop + j%(core*hop)
-    rows = np.repeat(np.arange(n_chunks), core * hop)[: F * hop]
-    cols = (np.repeat(core_off, core * hop) * hop
-            + np.tile(np.arange(core * hop), n_chunks))[: F * hop]
-    return waves[:, rows, cols]
+    # stitch with static slices (no gather): chunk 0 is clamped to start 0
+    # (core offset 0), interior chunks share core offset `overlap`, the last
+    # chunk is clamped to end at F (per-sample-constant offset c_last)
+    first = waves[:, 0, : core * hop]
+    parts = [first]
+    if n_chunks > 2:
+        interior = waves[:, 1:-1, overlap * hop: (overlap + core) * hop]
+        parts.append(interior.reshape(B, (n_chunks - 2) * core * hop))
+    c_last = int(core_off[-1])
+    last_core = F - (n_chunks - 1) * core
+    parts.append(waves[:, -1, c_last * hop: (c_last + last_core) * hop])
+    return jnp.concatenate(parts, axis=-1)
 
 
 def generator_flops_per_frame(config: HiFiGANConfig = HiFiGANConfig()) -> int:
