@@ -24,6 +24,8 @@ import numpy as np
 def main():
     import jax
 
+    from tts_arabic_tpu.runtime.cache import enable_compilation_cache
+    enable_compilation_cache()
     from tts_arabic_tpu.infer import FastPitch2Wave
 
     root = pathlib.Path(__file__).resolve().parent

@@ -1,0 +1,111 @@
+"""Data pipeline tests with a synthetic mini-corpus."""
+import numpy as np
+import pytest
+
+from tts_arabic_tpu.audio import save_wav
+from tts_arabic_tpu.data import (ArabDataset, ArabDatasetFastPitch,
+                                 DynBatchDataset, collate_fastpitch,
+                                 collate_tacotron, estimate_f0,
+                                 normalize_pitch, parse_label_line,
+                                 silence_keep_mask)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    lines = []
+    phon = ["b a m aa + t i0 l", "< a h l a n + w a s a h l a n",
+            "m a r H a b a n"]
+    for i, p in enumerate(phon):
+        n = 11025 + i * 4410
+        t = np.arange(n) / 22050
+        wav = (0.3 * np.sin(2 * np.pi * 150 * t)
+               + 0.05 * rng.standard_normal(n)).astype(np.float32)
+        save_wav(root / f"s{i}.wav", wav)
+        lines.append(f'"s{i}.wav" "{p}"')
+    (root / "labels.txt").write_text("\n".join(lines))
+    return root
+
+
+def test_parse_label_line_variants():
+    p, f = parse_label_line('"(?P<filename>.*)" "(?P<phonemes>.*)"',
+                            '"x.wav" "b a m"')
+    assert p == "b a m" and f == "x.wav"
+    p, f = parse_label_line(r"(?P<buckwalter>.*)\|(?P<filestem>.*)",
+                            "*ahaba|utt1")
+    assert f == "utt1.wav" and "*" in p
+
+
+def test_silence_mask_keeps_trailing():
+    e = np.array([-12.0, -5, -5, -12, -5, -12, -12])
+    keep = silence_keep_mask(e)
+    # leading/internal silence dropped, trailing silence kept
+    assert list(keep) == [False, True, True, False, True, True, True]
+
+
+def test_normalize_pitch_zero_preserving():
+    p = np.array([0.0, 130.0, 150.0, 0.0], np.float32)
+    out = normalize_pitch(p.copy(), 130.0, 20.0)
+    assert out[0] == 0.0 and out[3] == 0.0
+    np.testing.assert_allclose(out[1], 0.0, atol=1e-6)
+    np.testing.assert_allclose(out[2], 1.0, atol=1e-6)
+
+
+def test_arab_dataset(corpus):
+    ds = ArabDataset(corpus / "labels.txt", corpus)
+    assert len(ds) == 3
+    tokens, mel = ds[0]
+    assert tokens.dtype == np.int32 and mel.shape[0] == 80
+    assert np.isfinite(mel).all()
+
+
+def test_fastpitch_dataset_and_collate(corpus):
+    ds = ArabDatasetFastPitch(corpus / "labels.txt", corpus)
+    items = [ds[i] for i in range(3)]
+    for it in items:
+        T = it["mel"].shape[1]
+        assert it["pitch"].shape == (1, T)
+        assert it["energy"].shape == (T,)
+        assert it["attn_prior"].shape == (T, len(it["token_ids"]))
+    batch = collate_fastpitch(items)
+    B, T_mel, n_mels = batch["mel_tgt"].shape
+    assert B == 3 and n_mels == 80 and T_mel % 64 == 0
+    assert batch["tokens"].shape[1] % 16 == 0
+    assert (batch["mel_lens"] <= T_mel).all()
+    assert batch["attn_prior"].shape == (3, T_mel, batch["tokens"].shape[1])
+
+
+def test_dynbatch_bucketing(corpus):
+    ds = ArabDatasetFastPitch(corpus / "labels.txt", corpus)
+    dyn = DynBatchDataset(ds, max_lengths=[50, 30000], batch_sizes=[2, 1])
+    ids = sorted(i for b in dyn.id_batches for i in b)
+    assert ids == [0, 1, 2]  # every sample appears exactly once
+    batch = dyn[0]
+    assert isinstance(batch, list) and isinstance(batch[0], dict)
+
+
+def test_collate_tacotron(corpus):
+    ds = ArabDataset(corpus / "labels.txt", corpus)
+    batch = collate_tacotron([ds[i] for i in range(3)])
+    B, T, _ = batch["mel_tgt"].shape
+    assert batch["gate_tgt"].shape == (B, T)
+    for i in range(B):
+        L = batch["mel_lens"][i]
+        assert batch["gate_tgt"][i, L - 1] == 1.0
+        assert (batch["gate_tgt"][i, :L - 1] == 0).all()
+        assert (batch["gate_tgt"][i, L:] == 1).all()
+
+
+def test_f0_estimator_on_synthetic_tone():
+    sr = 22050
+    t = np.arange(sr) / sr
+    for hz in (110.0, 220.0, 440.0):
+        wav = 0.5 * np.sin(2 * np.pi * hz * t).astype(np.float32)
+        f0 = estimate_f0(wav, sr)
+        voiced = f0[f0 > 0]
+        assert len(voiced) > 0.8 * len(f0)
+        np.testing.assert_allclose(np.median(voiced), hz, rtol=0.02)
+    # silence is unvoiced
+    f0 = estimate_f0(np.zeros(sr, np.float32), sr)
+    assert (f0 == 0).all()

@@ -166,3 +166,25 @@ class MelSpectrogram:
 
     def __call__(self, x) -> jnp.ndarray:
         return self._fn(jnp.asarray(x))
+
+
+# --- numpy host path (data loading) ----------------------------------------
+
+def log_mel_numpy(x: np.ndarray, cfg: MelConfig = MelConfig(),
+                  clip: float = 1e-5) -> np.ndarray:
+    """Pure-numpy log-mel for host-side dataset loading (no device round
+    trip per sample). Matches `log_mel_spectrogram` bit-for-bit modulo fft
+    library rounding."""
+    basis = slaney_mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels,
+                                  cfg.f_min, cfg.f_max, cfg.norm)
+    window = np.hanning(cfg.win_length + 1)[:-1].astype(np.float32)
+    pad = cfg.pad_length
+    xp = np.pad(x, pad, mode="reflect")
+    n_frames = 1 + (len(xp) - cfg.n_fft) // cfg.hop_length
+    idx = (np.arange(n_frames)[:, None] * cfg.hop_length
+           + np.arange(cfg.n_fft)[None, :])
+    frames = xp[idx] * window
+    spec = np.fft.rfft(frames, n=cfg.n_fft, axis=-1)
+    mag = np.sqrt(np.abs(spec) ** 2 + 1e-9).T  # [F, T]
+    mel = basis @ mag
+    return np.log(np.clip(mel, clip, None)).astype(np.float32)
