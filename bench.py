@@ -49,7 +49,8 @@ def main():
     sr = pipe.sample_rate
 
     def run_all():
-        waves = pipe.tts(lines, denoise=0.005, batch_size=batch_size)
+        waves = pipe.tts(lines, denoise=0.005, batch_size=batch_size,
+                         out_int16=True)
         return sum(len(w) for w in waves)
 
     # warmup: compile every (text-bucket, mel-bucket) signature

@@ -259,7 +259,8 @@ class FastPitch2Wave:
         )(self.vocoder_vars)
         self._wave_jit = jax.jit(self._wave_fn,
                                  static_argnames=("max_frames",
-                                                  "use_denoiser"))
+                                                  "use_denoiser",
+                                                  "return_mel", "out_int16"))
 
     @property
     def sample_rate(self) -> int:
@@ -270,7 +271,8 @@ class FastPitch2Wave:
         return self.vocoder_config.hop_length
 
     def _wave_fn(self, fp_vars, voc_vars, bias_spec, enc_out, durations,
-                 denoise_strength, pace, *, max_frames, use_denoiser):
+                 denoise_strength, pace, *, max_frames, use_denoiser,
+                 return_mel=False, out_int16=False):
         from ..vocoder.hifigan import chunked_vocode
         dt = self.compute_dtype
         if dt is not None:
@@ -284,16 +286,21 @@ class FastPitch2Wave:
         wave = chunked_vocode(self.vocoder.apply, voc_vars, mel,
                               pad_value=LOG_MEL_PAD)
         wave = wave.astype(jnp.float32)
-        mel = mel.astype(jnp.float32)
         if use_denoiser:
             wave = denoiser_mod.denoise(wave, bias_spec, denoise_strength)
+        if out_int16:
+            # device-side int16 conversion halves the D2H transfer — the
+            # tunnel bandwidth is the serving bottleneck, and wav files are
+            # int16 anyway
+            wave = (jnp.clip(wave, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+        mel = mel.astype(jnp.float32) if return_mel else None
         return wave, mel, mel_lens
 
-    def tts_batch(self, batch: List[str], speed: float = 1.0,
-                  speaker_id: int = 0, denoise: float = 0.0,
-                  vowelizer: Optional[str] = None, pitch_mul: float = 1.0,
-                  pitch_add: float = 0.0, return_mel: bool = False,
-                  pad_to=None):
+    def _launch_batch(self, batch, speed, speaker_id, denoise, vowelizer,
+                      pitch_mul, pitch_add, return_mel, pad_to,
+                      out_int16=False):
+        """Sweeps 1+2: tokenize, encode, pick bucket, launch the wave jit
+        (async). Returns device handles + bookkeeping."""
         m = self.model
         ids_list = [m.tokenize(t, vowelizer) for t in batch]
         enc, inverse, n_real = m._encode_batch(
@@ -305,16 +312,32 @@ class FastPitch2Wave:
             m.variables, self.vocoder_vars, self.bias_spec,
             enc["enc_out"], enc["dur_pred"],
             jnp.float32(denoise), jnp.float32(speed), max_frames=bucket,
-            use_denoiser=denoise > 0)
+            use_denoiser=denoise > 0, return_mel=return_mel,
+            out_int16=out_int16)
+        return wave, mel, mel_lens, inverse
+
+    def _collect_batch(self, handles, return_mel, out_int16=False):
+        """Sweep 3: fetch device results, crop, unsort."""
+        wave, mel, mel_lens, inverse = handles
         wave = np.asarray(wave)
-        mel = np.asarray(mel)
         mel_lens = np.asarray(mel_lens)
         hop = self.hop_length
         waves = [wave[i, : mel_lens[i] * hop] for i in inverse]
         if return_mel:
+            mel = np.asarray(mel)
             mels = [mel[i, : mel_lens[i]].T for i in inverse]
             return waves, mels
         return waves
+
+    def tts_batch(self, batch: List[str], speed: float = 1.0,
+                  speaker_id: int = 0, denoise: float = 0.0,
+                  vowelizer: Optional[str] = None, pitch_mul: float = 1.0,
+                  pitch_add: float = 0.0, return_mel: bool = False,
+                  pad_to=None, out_int16: bool = False):
+        handles = self._launch_batch(batch, speed, speaker_id, denoise,
+                                     vowelizer, pitch_mul, pitch_add,
+                                     return_mel, pad_to, out_int16)
+        return self._collect_batch(handles, return_mel, out_int16)
 
     def tts_single(self, utterance: str, **kw):
         out = self.tts_batch([utterance], **kw)
@@ -325,7 +348,8 @@ class FastPitch2Wave:
     def tts(self, text_input: Union[str, List[str]], speed: float = 1.0,
             denoise: float = 0.005, speaker_id: int = 0, batch_size: int = 2,
             vowelizer: Optional[str] = None, pitch_mul: float = 1.0,
-            pitch_add: float = 0.0, return_mel: bool = False):
+            pitch_add: float = 0.0, return_mel: bool = False,
+            out_int16: bool = False):
         """Synthesize speech (API parity with reference
         `FastPitch2Wave.tts`, networks.py:352-435).
 
@@ -339,16 +363,30 @@ class FastPitch2Wave:
         # GLOBAL length sort before batching: batches become homogeneous in
         # length, so per-batch bucket padding waste drops from up to ~3x (on
         # mixed corpora) to the bucket granularity. The reference sorts only
-        # within each batch (networks.py:16-35).
+        # within each batch (networks.py:16-35). Batches are LAUNCHED ahead
+        # of collection (sweep pipeline) so D2H transfers of batch k overlap
+        # the TPU compute of batch k+1.
+        launch_kw = dict(kw)
+        launch_kw.pop("return_mel")
         order = sorted(range(len(text_input)),
                        key=lambda i: -len(text_input[i]))
         waves = [None] * len(text_input)
         mels = [None] * len(text_input)
         bs = max(batch_size, 1)
-        for k in range(0, len(order), bs):
-            idxs = order[k: k + bs]
-            out = self.tts_batch([text_input[i] for i in idxs], pad_to=bs,
-                                 **kw)
+        batches = [order[k: k + bs] for k in range(0, len(order), bs)]
+        handles = [
+            (idxs, self._launch_batch([text_input[i] for i in idxs],
+                                      launch_kw["speed"],
+                                      launch_kw["speaker_id"],
+                                      launch_kw["denoise"],
+                                      launch_kw["vowelizer"],
+                                      launch_kw["pitch_mul"],
+                                      launch_kw["pitch_add"], return_mel,
+                                      pad_to=bs, out_int16=out_int16))
+            for idxs in batches
+        ]
+        for idxs, h in handles:
+            out = self._collect_batch(h, return_mel, out_int16)
             batch_waves, batch_mels = (out if return_mel else (out, None))
             for j, i in enumerate(idxs):
                 waves[i] = batch_waves[j]

@@ -25,6 +25,9 @@ _META_KEY = "__meta__"
 
 
 def _to_numpy(tree):
+    # to_state_dict converts namedtuple-based structures (optax states,
+    # flax structs) into plain serializable dicts
+    tree = serialization.to_state_dict(tree)
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
