@@ -247,3 +247,27 @@ def tacotron2_params_from_torch(sd: dict, config) -> dict:
         params[f"post_bn_{i}"], stats[f"post_bn_{i}"] = _bn(
             sd, f"postnet.convolutions.{i}.1")
     return {"params": params, "batch_stats": stats}
+
+
+# --- Vocos ------------------------------------------------------------------
+
+def vocos_params_from_torch(sd: dict, num_layers: int = 8) -> dict:
+    """Reference MelVocos/Vocos state_dict (`vocoder/vocos/pretrained.py`)
+    -> our flax variables. Feature-extractor buffers (torchaudio mel
+    filterbanks) carry no learned weights and are skipped."""
+    backbone = {
+        "embed": _conv1d(sd, "backbone.embed"),
+        "norm": _ln(sd, "backbone.norm"),
+        "final_layer_norm": _ln(sd, "backbone.final_layer_norm"),
+    }
+    for i in range(num_layers):
+        p = f"backbone.convnext.{i}"
+        backbone[f"convnext_{i}"] = {
+            "dwconv": _conv1d(sd, f"{p}.dwconv"),
+            "norm": _ln(sd, f"{p}.norm"),
+            "pwconv1": _dense(sd, f"{p}.pwconv1"),
+            "pwconv2": _dense(sd, f"{p}.pwconv2"),
+            "gamma": sd[f"{p}.gamma"],
+        }
+    head = {"out": _dense(sd, "head.out")}
+    return {"params": {"backbone": backbone, "head": head}}
