@@ -1,0 +1,98 @@
+"""Eval tests: native C++ DTW vs reference numba kernel (run as python),
+oversmoothing metric parity, MCD sanity."""
+import numpy as np
+import pytest
+
+from ref_loader import load_reference
+from tts_arabic_tpu.eval import (compute_mel_oversmoothing_metrics,
+                                 dtw_align_mels, dtw_path, mcd,
+                                 oversmoothing_metrics_aligned,
+                                 using_native_kernel)
+
+
+def test_native_kernel_builds():
+    assert using_native_kernel(), "C++ DTW library failed to build/load"
+
+
+@pytest.fixture(scope="module")
+def ref_dtw(reference_dir):
+    load_reference(reference_dir)
+    from utils.oversmoothing import _dtw_path_numba
+    return _dtw_path_numba
+
+
+@pytest.mark.parametrize("metric,window", [("l2", -1), ("cosine", -1),
+                                           ("l2", 8)])
+def test_dtw_matches_reference(ref_dtw, metric, window):
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((40, 12)).astype(np.float32)
+    B = rng.standard_normal((55, 12)).astype(np.float32)
+    mcode = 0 if metric == "l2" else 1
+    cost_ref, path_ref = ref_dtw(A, B, metric=mcode, window=window)
+    cost, path = dtw_path(A, B, metric=metric,
+                          window=None if window < 0 else window)
+    np.testing.assert_allclose(cost, cost_ref, rtol=1e-4)
+    np.testing.assert_array_equal(path, path_ref)
+
+
+def test_dtw_numpy_fallback_matches_native():
+    from tts_arabic_tpu.eval.dtw import _dtw_numpy, _dtw_native
+    rng = np.random.default_rng(1)
+    A = rng.standard_normal((30, 8)).astype(np.float32)
+    B = rng.standard_normal((25, 8)).astype(np.float32)
+    for m in (0, 1):
+        cn, pn = _dtw_native(A, B, m, -1)
+        cf, pf = _dtw_numpy(A, B, m, -1)
+        np.testing.assert_allclose(cn, cf, rtol=1e-4)
+        np.testing.assert_array_equal(pn, pf)
+
+
+def test_dtw_align_identity():
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((80, 60)).astype(np.float32)
+    cost, path, A_al, B_al = dtw_align_mels(mel, mel)
+    assert cost < 1e-3
+    np.testing.assert_array_equal(path[:, 0], path[:, 1])
+    np.testing.assert_allclose(A_al, B_al)
+
+
+def test_oversmoothing_matches_reference(reference_dir):
+    load_reference(reference_dir)
+    from utils.oversmoothing import (
+        compute_mel_oversmoothing_metrics as ref_metrics)
+    rng = np.random.default_rng(3)
+    mel = rng.normal(0, 1, (80, 120)).astype(np.float32)
+    ours = compute_mel_oversmoothing_metrics(mel, reduction="median")
+    theirs = ref_metrics(mel, reduction="median")
+    for k in ("HQER", "CSlope", "CCentroid", "CRoll95", "Q"):
+        np.testing.assert_allclose(ours[k], theirs[k], rtol=1e-4,
+                                   err_msg=k)
+
+
+def test_aligned_metrics_match_reference(reference_dir):
+    load_reference(reference_dir)
+    from utils.oversmoothing import (
+        oversmoothing_metrics_aligned as ref_aligned)
+    rng = np.random.default_rng(4)
+    mel_a = rng.normal(0, 1, (80, 100)).astype(np.float32)
+    idx = np.round(np.linspace(0, 99, 85)).astype(int)
+    mel_b = mel_a[:, idx] + 0.05 * rng.normal(0, 1, (80, 85)).astype(
+        np.float32)
+    ours = oversmoothing_metrics_aligned(mel_a, mel_b)
+    theirs = ref_aligned(mel_a, mel_b)
+    assert set(ours) == set(theirs)
+    for k in ours:
+        np.testing.assert_allclose(ours[k], theirs[k], rtol=1e-3, atol=1e-5,
+                                   err_msg=k)
+
+
+def test_mcd_properties():
+    rng = np.random.default_rng(5)
+    mel = rng.normal(-4, 2, (80, 90)).astype(np.float32)
+    assert mcd(mel, mel) < 1e-5
+    noisy = mel + 0.5 * rng.normal(0, 1, mel.shape).astype(np.float32)
+    d1 = mcd(mel, noisy)
+    d2 = mcd(mel, mel + 2 * (noisy - mel))
+    assert 0 < d1 < d2
+    # different lengths align via DTW
+    assert np.isfinite(mcd(mel, mel[:, :70]))
