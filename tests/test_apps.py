@@ -1,0 +1,145 @@
+"""Apps layer tests: CLIs driven end-to-end with a tiny saved checkpoint,
+web server request/response, HTML builder, preprocessing."""
+import dataclasses
+import json
+import pathlib
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tts_arabic_tpu.apps.html_report import (build_page, make_double_entry,
+                                             make_multi_entry,
+                                             make_sample_entry, write_page)
+from tts_arabic_tpu.models.fastpitch import FastPitch, FastPitchConfig
+from tts_arabic_tpu.runtime.checkpoint import save_states
+
+SMALL = FastPitchConfig(
+    d_model=32, enc_n_layers=1, dec_n_layers=1, enc_d_head=8, dec_d_head=8,
+    enc_filter_size=64, dec_filter_size=64, dur_filter_size=16,
+    pitch_filter_size=16, energy_filter_size=16, attn_channels=8)
+
+
+@pytest.fixture(scope="module")
+def small_ckpt(tmp_path_factory):
+    """A loadable .ckpt with biased durations so synthesis is non-trivial."""
+    root = tmp_path_factory.mktemp("ckpt")
+    model = FastPitch(SMALL)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8), jnp.int32), max_frames=16)
+    params = variables["params"]
+    params["duration_predictor"]["fc"]["bias"] = (
+        params["duration_predictor"]["fc"]["bias"] + 1.5)
+    path = root / "fp_small.ckpt"
+    save_states(path, step=0, config={
+        "net_config": dataclasses.asdict(SMALL)}, model=params)
+    return path
+
+
+def test_html_builders(tmp_path):
+    entries = [
+        make_sample_entry("مرحبا", "a.wav", label="m1"),
+        make_double_entry("نص", "a.wav", "b.wav"),
+        make_multi_entry("نص آخر", ["a.wav", "b.wav"], ["x", "y"]),
+    ]
+    page = build_page(entries, title="t")
+    assert page.count("<audio") == 5 and "volume" in page
+    p = write_page(tmp_path / "idx.html", entries)
+    assert p.exists() and "مرحبا" in p.read_text(encoding="utf-8")
+
+
+def test_inference_cli(tmp_path, small_ckpt):
+    from tts_arabic_tpu.apps.inference import main
+    lst = tmp_path / "lines.txt"
+    lst.write_text("صِفر\nواحِد\n", encoding="utf-8")
+    out = tmp_path / "out"
+    main(["--list", str(lst), "--checkpoint", str(small_ckpt),
+          "--out-dir", str(out), "--batch-size", "2", "--cpu"])
+    wavs = sorted(out.glob("*.wav"))
+    assert len(wavs) == 2
+    assert (out / "index.html").exists()
+    from tts_arabic_tpu.audio import load_wav
+    x, sr = load_wav(wavs[0])
+    assert sr == 22050 and len(x) > 0
+
+
+def test_smoke_test_cli(tmp_path, small_ckpt):
+    from tts_arabic_tpu.apps.smoke_test import main
+    out = tmp_path / "smoke"
+    main(["--checkpoint", str(small_ckpt), "--out-dir", str(out), "--cpu"])
+    assert (out / "sample.wav").exists()
+    assert (out / "mel.png").exists()
+    assert (out / "index.html").exists()
+
+
+def test_server_endpoint(small_ckpt):
+    from http.server import ThreadingHTTPServer
+    from tts_arabic_tpu.apps import server as srv
+
+    manager = srv.TTSManager([
+        {"name": "fp-small", "type": "fastpitch",
+         "checkpoint": str(small_ckpt)}])
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), srv.make_handler(manager))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=30) as r:
+            page = r.read().decode()
+        assert "textarea" in page and "/api/tts" in page
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/tts",
+            data=json.dumps({"buckw": "Sifr", "rate": 1.0,
+                             "denoise": 0.0}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            data = json.loads(r.read())
+        assert data["waves"] and data["waves"][0]["url"].endswith(".wav")
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{data['waves'][0]['url']}",
+                timeout=30) as r:
+            wav_bytes = r.read()
+        assert wav_bytes[:4] == b"RIFF"
+    finally:
+        httpd.shutdown()
+
+
+def test_preprocess_text_cli(tmp_path):
+    from tts_arabic_tpu.apps.preprocess import preprocess_text
+    tr = tmp_path / "orth.txt"
+    tr.write_text("utt1|ذَهَبَ الوَلَدُ\nutt2|مَرحَباً\nutt3|صِفر\n",
+                  encoding="utf-8")
+    preprocess_text(tr, tmp_path / "data", split_ratio=0.67)
+    for split in ("train", "test"):
+        for kind in ("arab", "buckw", "phon"):
+            assert (tmp_path / "data" / f"{split}_{kind}.txt").exists()
+    line = (tmp_path / "data" / "train_phon.txt").read_text(
+        encoding="utf-8").splitlines()[0]
+    assert line.startswith('"utt1"')
+
+
+def test_preprocess_audio_cli(tmp_path):
+    from tts_arabic_tpu.apps.preprocess import preprocess_audio
+    from tts_arabic_tpu.audio import save_wav, load_wav
+    ind = tmp_path / "in"
+    ind.mkdir()
+    t = np.arange(44100) / 44100
+    save_wav(ind / "x.wav", 0.4 * np.sin(2 * np.pi * 220 * t), 44100)
+    preprocess_audio(ind, tmp_path / "outw", sr=22050)
+    x, sr = load_wav(tmp_path / "outw" / "x.wav")
+    assert sr == 22050
+    assert np.abs(x[-768:]).max() < 1e-3  # zero pad appended
+
+
+def test_download_manifest(capsys):
+    from tts_arabic_tpu.apps.download import main
+    main([])
+    out = capsys.readouterr().out
+    assert "fastpitch_ar_adv.pth" in out and "shakkala" in out

@@ -1,0 +1,187 @@
+"""Web demo server (reference `app.py` + `app/` equivalent).
+
+    python -m tts_arabic_tpu.apps.server --port 8000
+
+Endpoints match the reference surface (app.py:16-43):
+- GET  /            : demo page (textarea, rate/denoise sliders)
+- POST /api/tts     : JSON {"buckw": str, "rate": float, "denoise": float}
+                      -> synthesizes with every model in the registry,
+                      writes static/wave{i}.wav, returns their URLs
+- GET  /static/...  : generated audio
+
+The registry (`app_models.yaml`, reference `app/models.yaml` analogue) lists
+models to run per request. Implemented on stdlib http.server — this
+environment ships no fastapi/uvicorn; the endpoint contract is identical.
+The Arabic <-> Buckwalter mapping runs client-side (reference
+`app/static/mappings.js` behavior), generated from the same tables as the
+Python frontend.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..audio import peak_normalize, save_wav
+from ..text.buckwalter import _ARABIC, _BUCKWALTER
+
+_STATIC = pathlib.Path(__file__).parent / "static"
+
+_INDEX = """<!doctype html><html><head><meta charset="utf-8">
+<title>Arabic TTS (TPU)</title><style>
+body {{ font-family: system-ui; max-width: 760px; margin: 2em auto; }}
+textarea {{ width: 100%; height: 5em; font-size: 1.2em; direction: rtl; }}
+.row {{ margin: 0.6em 0; }} audio {{ width: 100%; }}
+.model {{ color: #666; font-size: 0.9em; }}
+</style></head><body>
+<h1>Arabic TTS <small>(TPU-native)</small></h1>
+<textarea id="text">{default_text}</textarea>
+<div class="row">rate <input id="rate" type="range" min="0.5" max="2" step="0.05" value="1">
+denoise <input id="denoise" type="range" min="0" max="0.02" step="0.001" value="0.005">
+<button id="go">synthesize</button> <span id="status"></span></div>
+<div id="out"></div>
+<script>
+const AR = {arabic_json}; const BW = {buckw_json};
+const a2b = {{}}; const b2a = {{}};
+for (let i = 0; i < AR.length; i++) {{ a2b[AR[i]] = BW[i]; b2a[BW[i]] = AR[i]; }}
+function arabicToBuckw(s) {{ return [...s].map(c => a2b[c] ?? c).join(''); }}
+document.getElementById('go').onclick = async () => {{
+  const status = document.getElementById('status');
+  status.textContent = 'synthesizing...';
+  const body = {{ buckw: arabicToBuckw(document.getElementById('text').value),
+                 rate: +document.getElementById('rate').value,
+                 denoise: +document.getElementById('denoise').value }};
+  const r = await fetch('/api/tts', {{method: 'POST',
+      headers: {{'Content-Type': 'application/json'}},
+      body: JSON.stringify(body)}});
+  const data = await r.json();
+  const out = document.getElementById('out'); out.innerHTML = '';
+  for (const w of data.waves) {{
+    out.insertAdjacentHTML('beforeend',
+      `<div class="row"><span class="model">${{w.model}}</span>` +
+      `<audio controls autoplay src="${{w.url}}?t=${{Date.now()}}"></audio></div>`);
+  }}
+  status.textContent = '';
+}};
+</script></body></html>"""
+
+
+class TTSManager:
+    """Loads every registered model and synthesizes with each per request
+    (reference `TTSManager`, utils/app_utils.py:59-84). On the TPU all
+    models stay resident — no per-request device swapping."""
+
+    def __init__(self, registry=None):
+        self.models = []
+        registry = registry or [{"name": "fastpitch", "type": "fastpitch"}]
+        for item in registry:
+            self.models.append((item["name"], self._load(item)))
+
+    @staticmethod
+    def _load(item):
+        kind = item.get("type", "fastpitch")
+        kwargs = dict(arabic_in=False)
+        if item.get("checkpoint"):
+            kwargs["model_sd_path" if kind == "fastpitch" else
+                   "model_sd_path"] = item["checkpoint"]
+        if item.get("vocoder_sd"):
+            kwargs["vocoder_sd"] = item["vocoder_sd"]
+            kwargs["vocoder_config"] = item.get("vocoder_config")
+        if kind == "fastpitch":
+            from ..infer import FastPitch2Wave
+            return FastPitch2Wave(**kwargs)
+        from ..infer import Tacotron2Wave
+        return Tacotron2Wave(**kwargs)
+
+    def tts(self, buckw: str, rate: float = 1.0, denoise: float = 0.005):
+        _STATIC.mkdir(parents=True, exist_ok=True)
+        outputs = []
+        for i, (name, model) in enumerate(self.models):
+            wave = model.tts(buckw, speed=rate, denoise=denoise)
+            wave = peak_normalize(np.asarray(wave), 0.99)
+            fname = f"wave{i}.wav"
+            save_wav(_STATIC / fname, wave, model.sample_rate)
+            outputs.append({"model": name, "url": f"/static/{fname}"})
+        return outputs
+
+
+def make_handler(manager: TTSManager):
+    lock = threading.Lock()
+    index_html = _INDEX.format(
+        default_text="مَرحَباً بِكُم",
+        arabic_json=json.dumps(list(_ARABIC), ensure_ascii=False),
+        buckw_json=json.dumps(list(_BUCKWALTER)),
+    ).encode()
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/" or self.path.startswith("/index"):
+                return self._send(200, index_html, "text/html; charset=utf-8")
+            if self.path.startswith("/static/"):
+                name = pathlib.Path(self.path.split("?")[0]).name
+                f = _STATIC / name
+                if f.exists():
+                    return self._send(200, f.read_bytes(), "audio/wav")
+            return self._send(404, b'{"error": "not found"}')
+
+        def do_POST(self):
+            if self.path != "/api/tts":
+                return self._send(404, b'{"error": "not found"}')
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                with lock:
+                    waves = manager.tts(req.get("buckw", ""),
+                                        float(req.get("rate", 1.0)),
+                                        float(req.get("denoise", 0.005)))
+                body = json.dumps({"waves": waves}).encode()
+                return self._send(200, body)
+            except Exception as e:  # surface errors to the client
+                return self._send(500, json.dumps(
+                    {"error": str(e)}).encode())
+
+        def log_message(self, fmt, *args):
+            pass
+
+    return Handler
+
+
+def load_registry(path):
+    import yaml
+    p = pathlib.Path(path)
+    if not p.exists():
+        return None
+    with open(p) as f:
+        return yaml.safe_load(f)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--models", default="app_models.yaml",
+                        help="YAML registry of models to serve")
+    args = parser.parse_args(argv)
+
+    from ..runtime.cache import enable_compilation_cache
+    enable_compilation_cache()
+    manager = TTSManager(load_registry(args.models))
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(manager))
+    print(f"serving on http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
