@@ -308,3 +308,33 @@ def collate_tacotron(batch: List[tuple], text_mult: int = 16,
         mel_lens[i] = m.shape[1]
     return {"tokens": tokens, "token_lens": token_lens, "mel_tgt": mel,
             "gate_tgt": gate, "mel_lens": mel_lens}
+
+
+class WeightedSampler:
+    """Weighted sampling without replacement (reference `train.py:150-156`
+    balanced_sampling via torch WeightedRandomSampler; weights file from
+    `data/sampler/`). Produces a full permutation-like id order biased by
+    the weights each epoch."""
+
+    def __init__(self, weights, seed: int = 0):
+        self.weights = np.asarray(weights, np.float64)
+        self.weights = self.weights / self.weights.sum()
+        self.rng = np.random.default_rng(seed)
+
+    @classmethod
+    def from_file(cls, path, seed: int = 0):
+        path = str(path)
+        if path.endswith(".npy") or path.endswith(".npz"):
+            w = np.load(path)
+            if hasattr(w, "files"):
+                w = w[w.files[0]]
+        else:
+            import torch
+            w = np.asarray(torch.load(path, map_location="cpu",
+                                      weights_only=False))
+        return cls(w, seed)
+
+    def sample(self, n=None):
+        n = n if n is not None else len(self.weights)
+        return self.rng.choice(len(self.weights), size=n, replace=False,
+                               p=self.weights)

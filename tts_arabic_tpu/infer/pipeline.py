@@ -231,32 +231,63 @@ class FastPitch2Wave:
     def __init__(self, model_sd_path=None, vocoder_sd=None,
                  vocoder_config=None, vowelizer: Optional[str] = None,
                  arabic_in: bool = True, config=None, seed: int = 0,
-                 compute_dtype=None):
+                 compute_dtype=None, vocoder_type: str = "hifigan"):
         """compute_dtype: jnp.bfloat16 runs the decoder+vocoder hot path on
         the MXU's native bf16 (~2x on TPU); weights stay fp32 in memory and
         are cast at trace time; the spectral denoiser stays fp32. None =
-        full fp32."""
+        full fp32.
+
+        vocoder_type: "hifigan" (default) or "vocos" — the reference only
+        exposes Vocos as a standalone backend (`vocoder/vocos/pretrained.py`);
+        here it is wired directly into the tts() pipeline (BASELINE.md
+        config 4)."""
         self.compute_dtype = compute_dtype
+        self.vocoder_type = vocoder_type
         self.model = FastPitchTTS(model_sd_path, config=config,
                                   arabic_in=arabic_in, vowelizer=vowelizer,
                                   seed=seed)
-        if vocoder_config is not None:
-            self.vocoder_config = HiFiGANConfig.from_json(vocoder_config)
+        if vocoder_type == "vocos":
+            from ..vocoder.vocos import CONFIG_22K, MelVocosModule
+            from ..models.torch_import import vocos_params_from_torch
+            cfg = CONFIG_22K
+            self._sample_rate = cfg["sample_rate"]
+            self._hop = cfg["hop_length"]
+            self.vocoder = MelVocosModule(
+                **{k: v for k, v in cfg.items() if k != "sample_rate"})
+            if vocoder_sd is not None:
+                sd = load_torch_state_dict(vocoder_sd)
+                sd.pop("__extras__", None)
+                self.vocoder_vars = vocos_params_from_torch(
+                    sd, cfg["num_layers"])
+            else:
+                self.vocoder_vars = self.vocoder.init(
+                    jax.random.PRNGKey(seed + 1),
+                    jnp.zeros((1, 16, cfg["n_mels"])))
+            self.bias_spec = jax.jit(
+                lambda v: self.vocoder.apply(
+                    v, method=type(self.vocoder).bias_vector)
+            )(self.vocoder_vars)
         else:
-            self.vocoder_config = HiFiGANConfig()
-        self.vocoder = Generator(self.vocoder_config)
-        if vocoder_sd is not None:
-            sd = load_torch_state_dict(vocoder_sd)
-            sd.pop("__extras__", None)
-            self.vocoder_vars = hifigan_params_from_torch(sd,
-                                                          self.vocoder_config)
-        else:
-            mel = jnp.zeros((1, 16, self.vocoder_config.num_mels))
-            self.vocoder_vars = self.vocoder.init(jax.random.PRNGKey(seed + 1),
-                                                  mel)
-        self.bias_spec = jax.jit(
-            lambda v: denoiser_mod.compute_bias_spec(self.vocoder.apply, v)
-        )(self.vocoder_vars)
+            if vocoder_config is not None:
+                self.vocoder_config = HiFiGANConfig.from_json(vocoder_config)
+            else:
+                self.vocoder_config = HiFiGANConfig()
+            self._sample_rate = self.vocoder_config.sampling_rate
+            self._hop = self.vocoder_config.hop_length
+            self.vocoder = Generator(self.vocoder_config)
+            if vocoder_sd is not None:
+                sd = load_torch_state_dict(vocoder_sd)
+                sd.pop("__extras__", None)
+                self.vocoder_vars = hifigan_params_from_torch(
+                    sd, self.vocoder_config)
+            else:
+                mel = jnp.zeros((1, 16, self.vocoder_config.num_mels))
+                self.vocoder_vars = self.vocoder.init(
+                    jax.random.PRNGKey(seed + 1), mel)
+            self.bias_spec = jax.jit(
+                lambda v: denoiser_mod.compute_bias_spec(self.vocoder.apply,
+                                                         v)
+            )(self.vocoder_vars)
         self._wave_jit = jax.jit(self._wave_fn,
                                  static_argnames=("max_frames",
                                                   "use_denoiser",
@@ -264,11 +295,11 @@ class FastPitch2Wave:
 
     @property
     def sample_rate(self) -> int:
-        return self.vocoder_config.sampling_rate
+        return self._sample_rate
 
     @property
     def hop_length(self) -> int:
-        return self.vocoder_config.hop_length
+        return self._hop
 
     def _wave_fn(self, fp_vars, voc_vars, bias_spec, enc_out, durations,
                  denoise_strength, pace, *, max_frames, use_denoiser,
@@ -283,11 +314,23 @@ class FastPitch2Wave:
                                           enc_out.astype(dt))
         mel, mel_lens = self.model._decode_fn(fp_vars, enc_out, durations,
                                               pace, max_frames=max_frames)
-        wave = chunked_vocode(self.vocoder.apply, voc_vars, mel,
-                              pad_value=LOG_MEL_PAD)
-        wave = wave.astype(jnp.float32)
-        if use_denoiser:
-            wave = denoiser_mod.denoise(wave, bias_spec, denoise_strength)
+        if self.vocoder_type == "vocos":
+            # MelVocos fuses spectral denoising into its head; its ConvNeXt
+            # receptive field is ~±27 frames, so a 32-frame overlap keeps
+            # chunked == full
+            strength = denoise_strength if use_denoiser else 0.0
+            apply = lambda v, m: self.vocoder.apply(
+                v, m, bias_spec.astype(m.dtype), strength)
+            wave = chunked_vocode(apply, voc_vars, mel, core=192, overlap=32,
+                                  pad_value=LOG_MEL_PAD)
+            wave = wave.astype(jnp.float32)
+        else:
+            wave = chunked_vocode(self.vocoder.apply, voc_vars, mel,
+                                  pad_value=LOG_MEL_PAD)
+            wave = wave.astype(jnp.float32)
+            if use_denoiser:
+                wave = denoiser_mod.denoise(wave, bias_spec,
+                                            denoise_strength)
         if out_int16:
             # device-side int16 conversion halves the D2H transfer — the
             # tunnel bandwidth is the serving bottleneck, and wav files are
