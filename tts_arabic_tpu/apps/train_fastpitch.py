@@ -59,7 +59,7 @@ def main(argv=None):
         jnp.asarray(sample["pitch_dense"][:1]),
         jnp.asarray(sample["energy_dense"][:1]),
         jnp.asarray(sample["attn_prior"][:1]),
-        jnp.asarray(sample["mel_tgt"][:1, :, 0] * 0),
+        jnp.asarray(sample["tokens"][:1].astype(np.float32) * 0),
         deterministic=True, method=FastPitch.forward_train)
     params = variables["params"]
     # store corpus pitch stats in the weights (model.py:213-214 analogue)
