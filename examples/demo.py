@@ -1,0 +1,56 @@
+"""Walkthrough of the framework's API (reference `test.ipynb` equivalent).
+
+Run cells top-to-bottom (or as a script):
+
+    python examples/demo.py
+
+Uses random weights when no checkpoint is given; pass reference `.pth`
+paths to hear real speech (see `python -m tts_arabic_tpu.apps.download`).
+"""
+# %% setup
+import numpy as np
+
+from tts_arabic_tpu.infer import FastPitch2Wave, FastPitchTTS, Tacotron2Wave
+from tts_arabic_tpu.audio import save_wav
+
+CKPT = None  # e.g. "pretrained/fastpitch_ar_adv.pth"
+VOCODER_SD = None  # e.g. "pretrained/hifigan-asc-v1/hifigan-asc.pth"
+
+# %% FastPitch: text -> mel
+fastpitch = FastPitchTTS(CKPT)
+mel = fastpitch.ttmel("اَلسَّلامُ عَلَيكُم يَا صَدِيقِي")
+print("mel:", mel.shape)  # [80, T]
+
+# %% FastPitch2Wave: end-to-end tts with denoiser
+tts = FastPitch2Wave(CKPT, vocoder_sd=VOCODER_SD)
+wave = tts.tts("اَلسَّلامُ عَلَيكُم يَا صَدِيقِي", denoise=0.005)
+save_wav("sample_fastpitch.wav", np.asarray(wave), tts.sample_rate)
+
+# %% Buckwalter input + speed/pitch controls
+wave = tts.tts(">als~alAmu Ealaykum yA Sadiyqiy" if not tts.model.arabic_in
+               else "اَلسَّلامُ عَلَيكُم", speed=0.9, pitch_mul=1.1,
+               pitch_add=0.2)
+
+# %% vowelizer A/B (diacritize unvocalized text before synthesis)
+for vowelizer in ("shakkala", "shakkelha"):
+    try:
+        w = tts.tts("السلام عليكم يا صديقي", vowelizer=vowelizer)
+        print(vowelizer, "->", len(w) / tts.sample_rate, "s")
+    except FileNotFoundError:
+        print(vowelizer, "weights not downloaded; skipping")
+
+# %% batched synthesis (list input)
+numbers = ["صِفر", "واحِد", "إِثنان", "ثَلاثَة", "أَربَعَة", "خَمسَة",
+           "سِتَّة", "سَبعَة", "ثَمانِيَة", "تِسعَة", "عَشَرَة"]
+waves = tts.tts(numbers, batch_size=8)
+print("batch:", [round(len(w) / tts.sample_rate, 2) for w in waves])
+
+# %% multispeaker + Vocos backend
+# ms = FastPitch2Wave("pretrained/fastpitch_ar_ms.pth", vocoder_type="vocos")
+# wave = ms.tts("مَرحَباً", speaker_id=2)
+
+# %% Tacotron2 (autoregressive)
+taco = Tacotron2Wave(None)  # or "pretrained/tacotron2_ar_adv.pth"
+taco.model.decoder_max_step = 256  # keep the random-weight demo short
+wave = taco.tts("صِفر", denoise=0.0)
+print("tacotron2:", len(wave) / taco.sample_rate, "s")
