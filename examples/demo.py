@@ -8,6 +8,11 @@ Uses random weights when no checkpoint is given; pass reference `.pth`
 paths to hear real speech (see `python -m tts_arabic_tpu.apps.download`).
 """
 # %% setup
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import numpy as np
 
 from tts_arabic_tpu.infer import FastPitch2Wave, FastPitchTTS, Tacotron2Wave
@@ -16,13 +21,25 @@ from tts_arabic_tpu.audio import save_wav
 CKPT = None  # e.g. "pretrained/fastpitch_ar_adv.pth"
 VOCODER_SD = None  # e.g. "pretrained/hifigan-asc-v1/hifigan-asc.pth"
 
+def _nudge_random_durations(pipeline_model):
+    """Random-init FastPitch predicts exp(0)-1 = 0 frames per token; bias
+    the duration head so the no-checkpoint demo produces audible lengths.
+    Not needed with trained checkpoints."""
+    fc = pipeline_model.variables["params"]["duration_predictor"]["fc"]
+    fc["bias"] = fc["bias"] + 2.0
+
+
 # %% FastPitch: text -> mel
 fastpitch = FastPitchTTS(CKPT)
+if CKPT is None:
+    _nudge_random_durations(fastpitch)
 mel = fastpitch.ttmel("اَلسَّلامُ عَلَيكُم يَا صَدِيقِي")
 print("mel:", mel.shape)  # [80, T]
 
 # %% FastPitch2Wave: end-to-end tts with denoiser
 tts = FastPitch2Wave(CKPT, vocoder_sd=VOCODER_SD)
+if CKPT is None:
+    _nudge_random_durations(tts.model)
 wave = tts.tts("اَلسَّلامُ عَلَيكُم يَا صَدِيقِي", denoise=0.005)
 save_wav("sample_fastpitch.wav", np.asarray(wave), tts.sample_rate)
 
