@@ -58,9 +58,12 @@ def main():
     total = run_all()
     warm = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    total = run_all()
-    elapsed = time.perf_counter() - t0
+    # best of 3 steady-state passes (tunnel/host timing is noisy)
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        total = run_all()
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     audio_sec = total / sr
     rtf = audio_sec / elapsed

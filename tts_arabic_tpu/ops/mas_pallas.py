@@ -1,0 +1,116 @@
+"""Pallas TPU kernel for monotonic alignment search.
+
+The lax.scan MAS (`tts_arabic_tpu/align/mas.py`) is correct but pays XLA
+loop overhead for T_mel (~1000) tiny steps of [B, T_txt] work. This kernel
+runs the whole Viterbi DP + backtrack for one batch row inside a single
+Pallas program: the DP table lives in VMEM, each forward step is one VPU
+max/shift/add over the text axis, and the backtrack carries a scalar text
+position — no per-step XLA dispatch, no HBM traffic between steps.
+
+Grid = batch; shapes are static (padded); per-sample in/out lengths arrive
+as scalar prefetch so masking happens in-kernel. `mas_fused` dispatches to
+this kernel on TPU and to the lax implementation elsewhere.
+
+Tie-breaking and boundary semantics match `align.mas` (and therefore the
+reference numba kernel `alignment.py:46-72`) exactly — verified by the
+differential tests in tests/test_ops.py and on-chip.
+
+Measured on TPU v5e at training shapes (B=10, T_mel=1024, T_txt=256):
+pallas 5.5 ms vs lax.scan 5.6 ms — the DP is latency-bound by its T_mel
+sequential steps in either formulation, so XLA's scan is already near the
+floor; the kernel is kept as the `ops/` reference implementation and for
+environments where scan dispatch is costlier. Either way MAS is <5% of a
+train step.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30  # python scalar: jnp constants would be captured tracers in the kernel
+
+
+def _mas_kernel(in_lens_ref, out_lens_ref, attn_ref, opt_ref, logp_ref):
+    b = pl.program_id(0)
+    _, T_mel, T_txt = attn_ref.shape
+    in_len = in_lens_ref[b]
+    out_len = out_lens_ref[b]
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, T_txt), 1)
+    col_valid = cols < in_len
+
+    # --- forward DP ---------------------------------------------------------
+    attn0 = jnp.where(col_valid, attn_ref[0, 0:1, :], _NEG)
+    row0 = jnp.where(cols == 0, attn0, _NEG)
+    logp_ref[0:1, :] = row0
+
+    def fwd(t, prev):
+        attn_t = jnp.where(col_valid, attn_ref[0, pl.ds(t, 1), :][0:1],
+                           _NEG)
+        shifted = jnp.where(cols == 0, _NEG,
+                            pltpu.roll(prev, shift=1, axis=1))
+        row = attn_t + jnp.maximum(prev, shifted)
+        logp_ref[pl.ds(t, 1), :] = row
+        return row
+
+    jax.lax.fori_loop(1, T_mel, fwd, row0)
+
+    # --- backtrack ----------------------------------------------------------
+    def bwd(k, j):
+        t = T_mel - 1 - k  # rows T_mel-1 .. 1
+        active = jnp.logical_and(t < out_len, t >= 1)
+        opt_ref[pl.ds(t, 1), :] = jnp.logical_and(
+            cols == j, active).astype(jnp.float32)
+        prev_row = logp_ref[pl.ds(t - 1, 1), :]
+        jm1 = jnp.maximum(j - 1, 0)
+        stay = jnp.sum(jnp.where(cols == j, prev_row, 0.0))
+        diag = jnp.sum(jnp.where(cols == jm1, prev_row, 0.0))
+        move = jnp.logical_and(active,
+                               jnp.logical_and(j > 0, diag >= stay))
+        return jnp.where(move, j - 1, j)
+
+    j_final = jax.lax.fori_loop(0, T_mel - 1, bwd, in_len - 1)
+    opt_ref[0:1, :] = jnp.logical_and(
+        cols == j_final, out_len > 0).astype(jnp.float32)
+
+
+def _opt_kernel(in_lens_ref, out_lens_ref, attn_ref, opt_ref, logp_ref):
+    # opt_ref block is [1, T_mel, T_txt]; write through a 2D view
+    _mas_kernel(in_lens_ref, out_lens_ref, attn_ref,
+                opt_ref.at[0], logp_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mas_pallas(log_attn: jnp.ndarray, in_lens: jnp.ndarray,
+               out_lens: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Batched MAS on TPU via Pallas. Same contract as `align.mas`."""
+    B, T_mel, T_txt = log_attn.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T_mel, T_txt), lambda b, *_: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, T_mel, T_txt), lambda b, *_: (b, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((T_mel, T_txt), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _opt_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T_mel, T_txt), jnp.float32),
+        interpret=interpret,
+    )(in_lens.astype(jnp.int32), out_lens.astype(jnp.int32),
+      log_attn.astype(jnp.float32))
+
+
+def mas_fused(log_attn, in_lens, out_lens):
+    """MAS with the Pallas kernel on TPU, lax.scan fallback elsewhere."""
+    platform = jax.devices()[0].platform
+    if platform == "tpu":
+        return mas_pallas(log_attn, in_lens, out_lens)
+    from ..align.mas import mas
+    return mas(log_attn, in_lens, out_lens)
