@@ -1,0 +1,29 @@
+"""Small host utilities (reference `utils/__init__.py:43-74` equivalents)."""
+from __future__ import annotations
+
+import sys
+
+
+def read_lines_from_file(path, encoding="utf-8"):
+    with open(path, encoding=encoding) as f:
+        return [line.strip() for line in f]
+
+
+def write_lines_to_file(path, lines, mode="w", encoding="utf-8"):
+    with open(path, mode, encoding=encoding) as f:
+        f.write("\n".join(lines))
+
+
+def progbar(iterable, length: int = 30, symbol: str = "="):
+    """Inline progress bar generator (reference `progbar`,
+    utils/__init__.py:59-74)."""
+    n = len(iterable)
+    for i, item in enumerate(iterable):
+        steps = length * (i + 1) // max(n, 1)
+        sys.stdout.write("\r")
+        sys.stdout.write(f"[{symbol * steps:{length}}] "
+                         f"{100 / max(n, 1) * (i + 1):.1f}%")
+        if i == n - 1:
+            sys.stdout.write("\n")
+        sys.stdout.flush()
+        yield item
