@@ -118,3 +118,42 @@ def load_torch_state_dict(path) -> dict[str, np.ndarray]:
                                               "iter")
     }
     return flat
+
+
+# --- orbax backend ----------------------------------------------------------
+
+class OrbaxCheckpointer:
+    """Directory-based orbax checkpointing for long training runs: versioned
+    async-capable saves with retention, complementing the single-file
+    msgpack format (which remains the interchange format). API mirrors
+    CheckpointManager.
+    """
+
+    def __init__(self, directory, max_to_keep: int = 5):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = pathlib.Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+
+    def save(self, step: int, tree) -> None:
+        self.manager.save(step, args=self._ocp.args.StandardSave(tree))
+
+    def restore(self, step: int | None = None, target=None):
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        if target is not None:
+            return self.manager.restore(
+                step, args=self._ocp.args.StandardRestore(target))
+        return self.manager.restore(step)
+
+    def latest_step(self):
+        return self.manager.latest_step()
+
+    def wait(self):
+        self.manager.wait_until_finished()
