@@ -55,38 +55,73 @@ def test_config_mapping(ref):
 
 
 def test_infer_parity(ref, ours):
-    """Full infer path: tokens -> mel must match the torch reference."""
+    """Full infer path: tokens -> mel must match the torch reference.
+
+    Oracle = the reference run at EXACT length per sample (its
+    `ttmel_single` semantics, networks.py:95-138). Our stack is
+    pad-invariant by construction (see layers.ConvFFN): a padded batch row
+    must reproduce the exact-length reference result bit-close, whereas the
+    reference's own padded batches leak pad values through its double-convs
+    and depend on batch composition."""
     model, _ = ref
     fp, variables = ours
 
     rng = np.random.default_rng(0)
     B, T = 2, 17
     tokens = rng.integers(1, 40, size=(B, T))
-    tokens[1, 12:] = 0  # padding
-    tokens_t = torch.from_numpy(tokens).long()
+    real_lens = [T, 12]
+    tokens[1, real_lens[1]:] = 0  # padding
 
-    with torch.no_grad():
-        mel_ref, dec_lens_ref, dur_ref, pitch_ref, energy_ref = model.infer(
-            tokens_t)
-    mel_ref = mel_ref.numpy()  # [B, 80, T_mel]
-    dec_lens_ref = dec_lens_ref.numpy()
+    refs = []
+    for b in range(B):
+        tokens_t = torch.from_numpy(tokens[b:b + 1, : real_lens[b]]).long()
+        with torch.no_grad():
+            mel_b, dec_b, dur_b, pitch_b, _ = model.infer(tokens_t)
+        refs.append((mel_b[0].numpy(), int(dec_b[0]), dur_b[0].numpy(),
+                     pitch_b[0].numpy()))
 
+    max_frames = max(r[1] for r in refs)
     out = FastPitch(fp.config).apply(
-        variables, jnp.asarray(tokens), max_frames=int(mel_ref.shape[2]),
+        variables, jnp.asarray(tokens), max_frames=max_frames,
         method=FastPitch.infer)
     mel = np.asarray(out["mel"]).transpose(0, 2, 1)
     mel_lens = np.asarray(out["mel_lens"])
 
-    np.testing.assert_array_equal(mel_lens, dec_lens_ref)
-    np.testing.assert_allclose(np.asarray(out["dur_pred"]),
-                               dur_ref.numpy(), rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(out["pitch_pred"]),
-                               pitch_ref.numpy(), rtol=1e-3, atol=1e-4)
-    # mel values beyond each sample's dec_len are decoder noise on padding
-    for b in range(B):
-        L = dec_lens_ref[b]
-        np.testing.assert_allclose(mel[b, :, :L], mel_ref[b, :, :L],
+    for b, (mel_ref, dec_len_ref, dur_ref, pitch_ref) in enumerate(refs):
+        L_txt = real_lens[b]
+        assert mel_lens[b] == dec_len_ref
+        np.testing.assert_allclose(np.asarray(out["dur_pred"])[b, :L_txt],
+                                   dur_ref, rtol=1e-3, atol=1e-4)
+        # padded token positions must predict exactly zero duration
+        np.testing.assert_array_equal(
+            np.asarray(out["dur_pred"])[b, L_txt:], 0.0)
+        np.testing.assert_allclose(np.asarray(out["pitch_pred"])[b, :, :L_txt],
+                                   pitch_ref, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(mel[b, :, :dec_len_ref],
+                                   mel_ref[:, :dec_len_ref],
                                    rtol=1e-3, atol=2e-3)
+
+
+def test_infer_pad_invariance(ours):
+    """The same sentence must synthesize identically regardless of how much
+    bucket padding surrounds it (batch composition independence)."""
+    fp, variables = ours
+    rng = np.random.default_rng(3)
+    ids = rng.integers(1, 40, size=14)
+
+    def run(T_pad, max_frames):
+        tokens = np.zeros((1, T_pad), np.int64)
+        tokens[0, : len(ids)] = ids
+        out = FastPitch(fp.config).apply(
+            variables, jnp.asarray(tokens), max_frames=max_frames,
+            method=FastPitch.infer)
+        L = int(np.asarray(out["mel_lens"])[0])
+        return np.asarray(out["mel"])[0, :L], L
+
+    mel_a, L_a = run(14, 512)
+    mel_b, L_b = run(32, 768)
+    assert L_a == L_b
+    np.testing.assert_allclose(mel_a, mel_b, rtol=1e-5, atol=1e-5)
 
 
 def test_regulate_len_matches_reference(ref):

@@ -144,11 +144,19 @@ class FastPitchTTS:
     def _encode_fn(self, variables, tokens, pitch_mul, pitch_add, speaker,
                    *, max_duration=75.0):
         """pitch_mul/pitch_add/speaker are dynamic scalars: changing the
-        control values never recompiles (only new bucket shapes do)."""
-        return self.model.apply(
-            variables, tokens, speaker=speaker,
-            pitch_mul=pitch_mul, pitch_add=pitch_add,
-            max_duration=max_duration, method=FastPitch.encode_infer)
+        control values never recompiles (only new bucket shapes do).
+
+        fp32 matmuls: the TPU MXU's default bf16 passes perturb predicted
+        durations enough to flip round() at frame boundaries, making output
+        lengths differ from the fp32 reference. The encode phase is a tiny
+        fraction of end-to-end FLOPs (decode+vocoder dominate), so full
+        precision here buys deterministic CPU/TPU-identical durations for
+        free."""
+        with jax.default_matmul_precision("float32"):
+            return self.model.apply(
+                variables, tokens, speaker=speaker,
+                pitch_mul=pitch_mul, pitch_add=pitch_add,
+                max_duration=max_duration, method=FastPitch.encode_infer)
 
     def _decode_fn(self, variables, enc_out, durations, pace, *, max_frames):
         mel, mel_lens = self.model.apply(

@@ -287,6 +287,10 @@ class FastPitch(nn.Module):
         # triggers a recompile.
         pitch_pred = jnp.asarray(pitch_mul) * pitch_pred + jnp.asarray(
             pitch_add)
+        # re-mask: a nonzero pitch_add would otherwise put nonzero values on
+        # pad positions, leaking into real frames through the k=3 pitch_emb
+        # conv (pad-invariance, see layers.ConvFFN)
+        pitch_pred = jnp.where(enc_mask[..., None], pitch_pred, 0.0)
         if pitch_tgt is None:
             pitch_emb = self.pitch_emb(pitch_pred)
         else:

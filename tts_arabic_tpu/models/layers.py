@@ -68,17 +68,30 @@ class SelfAttention(nn.Module):
 
 class ConvFFN(nn.Module):
     """Position-wise conv-k FFN, post-LN residual block (reference
-    `PositionwiseConvFF`, transformer.py:51-90)."""
+    `PositionwiseConvFF`, transformer.py:51-90).
+
+    When `mask` is given, every conv input is re-masked so padded positions
+    read as zeros — exactly what the reference's convs see past the sequence
+    end when run at exact length (zero "SAME" padding). This makes the stack
+    *pad-invariant*: output at real positions is identical for any bucket
+    padding, matching the reference's single-utterance (`ttmel_single`)
+    semantics. The reference's own batched path leaks pad values through the
+    second conv (transformer.py:51-90 has no inter-conv mask), making its
+    results depend on batch composition; we deliberately do better."""
     d_model: int
     d_inner: int
     kernel_size: int = 3
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, mask=None, *, deterministic: bool = True):
+        m = (None if mask is None
+             else mask[..., None].astype(x.dtype))
         y = nn.Conv(self.d_inner, (self.kernel_size,), padding="SAME",
-                    name="conv1")(x)
+                    name="conv1")(x if m is None else x * m)
         y = nn.relu(y)
+        if m is not None:
+            y = y * m
         y = nn.Conv(self.d_model, (self.kernel_size,), padding="SAME",
                     name="conv2")(y)
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
@@ -105,7 +118,8 @@ class FFTBlock(nn.Module):
             x, mask, deterministic=deterministic)
         x = x * m
         x = ConvFFN(self.d_model, self.d_inner, self.kernel_size,
-                    self.dropout, name="ff")(x, deterministic=deterministic)
+                    self.dropout, name="ff")(x, mask,
+                                             deterministic=deterministic)
         return x * m
 
 
@@ -162,13 +176,16 @@ class FFTransformer(nn.Module):
 
 class ConvReLUNorm(nn.Module):
     """Conv -> ReLU -> LayerNorm -> Dropout (reference `ConvReLUNorm`,
-    model.py:45-57)."""
+    model.py:45-57). `mask` re-masks the conv input for pad-invariance
+    (see ConvFFN docstring)."""
     channels: int
     kernel_size: int = 3
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, mask=None, *, deterministic: bool = True):
+        if mask is not None:
+            x = x * mask[..., None].astype(x.dtype)
         x = nn.Conv(self.channels, (self.kernel_size,), padding="SAME",
                     name="conv")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="ln")(nn.relu(x))
@@ -190,6 +207,7 @@ class TemporalPredictor(nn.Module):
         y = x * m
         for i in range(self.n_layers):
             y = ConvReLUNorm(self.filter_size, self.kernel_size, self.dropout,
-                             name=f"layer_{i}")(y, deterministic=deterministic)
+                             name=f"layer_{i}")(y, mask,
+                                                deterministic=deterministic)
         y = nn.Dense(self.n_predictions, name="fc")(y)
         return y * m

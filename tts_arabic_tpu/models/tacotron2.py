@@ -210,11 +210,19 @@ class Tacotron2(nn.Module):
         return keep * x / (1.0 - rate)
 
     def encode(self, tokens, token_lens, speaker_ids=None, *, train=False):
-        """tokens [B, T] -> memory [B, T, memory_dim]."""
+        """tokens [B, T] -> memory [B, T, memory_dim].
+
+        Every conv input is re-masked so pad positions read as zeros — the
+        same values the reference's exact-length run sees past the sequence
+        end (zero "SAME" padding). This makes encoding pad-invariant: bucket
+        padding in the pipeline cannot perturb real positions (the reference
+        itself leaks pad values between its stacked k=5 convs when batching,
+        torchaudio _Encoder; its single-utterance path is the oracle)."""
         c = self.config
         x = self.embedding(tokens)
+        m = sequence_mask(token_lens, x.shape[1])[..., None]
         for conv, bn in zip(self.enc_convs, self.enc_bns):
-            x = conv(x)
+            x = conv(jnp.where(m, x, 0.0))
             x = bn(x, use_running_average=not train)
             x = nn.relu(x)
             x = self._dropout(x, 0.5, train)
@@ -228,12 +236,17 @@ class Tacotron2(nn.Module):
             x = jnp.concatenate([x, spk], axis=-1)
         return x
 
-    def postnet(self, mel, *, train=False):
-        """mel [B, T, n_mels] -> residual [B, T, n_mels]."""
+    def postnet(self, mel, mel_lens=None, *, train=False):
+        """mel [B, T, n_mels] -> residual [B, T, n_mels].
+
+        With `mel_lens`, conv inputs are re-masked past each sample's length
+        (pad-invariance, same rationale as `encode`)."""
         x = mel
+        m = (None if mel_lens is None
+             else sequence_mask(mel_lens, mel.shape[1])[..., None])
         n = len(self.post_convs)
         for i, (conv, bn) in enumerate(zip(self.post_convs, self.post_bns)):
-            x = conv(x)
+            x = conv(x if m is None else jnp.where(m, x, 0.0))
             x = bn(x, use_running_average=not train)
             if i < n - 1:
                 x = jnp.tanh(x)
@@ -367,7 +380,7 @@ class Tacotron2(nn.Module):
         gates = jnp.swapaxes(gates, 0, 1)
         aligns = jnp.swapaxes(aligns, 0, 1)
 
-        post = self.postnet(mel_out, train=train)
+        post = self.postnet(mel_out, mel_lens, train=train)
         return mel_out, mel_out + post, gates, aligns
 
     # ---- autoregressive inference ------------------------------------------
@@ -445,7 +458,7 @@ class Tacotron2(nn.Module):
 
         out = jax.lax.while_loop(cond, body, init)
         mel = out["buffers"]["mel"]
-        post = self.postnet(mel, train=False)
+        post = self.postnet(mel, out["lengths"], train=False)
         return {
             "mel": mel,
             "mel_postnet": mel + post,
