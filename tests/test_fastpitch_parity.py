@@ -192,3 +192,41 @@ def test_hifigan_parity(ref_hifigan, reference_dir):
 def test_hifigan_upsample_factor():
     config = HiFiGANConfig()
     assert config.hop_length == 256
+
+
+def test_infer_parity_multispeaker(reference_dir):
+    """Speaker-conditioned infer (the reference ships a multispeaker
+    checkpoint, `fastpitch_ar_ms.pth`): random-weight reference FastPitch
+    with n_speakers>1 vs ours through the importer, exact-length oracle.
+    Different speaker ids must produce different (and matching) mels."""
+    load_reference(reference_dir)
+    from models.fastpitch.fastpitch.model import FastPitch as RefFastPitch
+    from models.fastpitch import net_config
+
+    cfg = dict(net_config)
+    cfg.update(n_symbols=40, n_speakers=5)
+    torch.manual_seed(1)
+    model = RefFastPitch(**cfg).eval()
+    config = FastPitchConfig.from_reference_net_config(cfg)
+    assert config.n_speakers == 5
+    variables = fastpitch_params_from_torch(_np_sd(model), config)
+
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(1, 40, size=(1, 13))
+    mels = {}
+    for sid in (0, 3):
+        with torch.no_grad():
+            mel_ref, dec_ref, *_ = model.infer(
+                torch.from_numpy(tokens).long(), speaker=sid)
+        out = FastPitch(config).apply(
+            variables, jnp.asarray(tokens), speaker=sid,
+            max_frames=int(mel_ref.shape[2]), method=FastPitch.infer)
+        L = int(dec_ref[0])
+        assert int(np.asarray(out["mel_lens"])[0]) == L
+        mel_ours = np.asarray(out["mel"])[0, :L].T
+        np.testing.assert_allclose(mel_ours, mel_ref[0].numpy()[:, :L],
+                                   rtol=1e-3, atol=2e-3)
+        mels[sid] = mel_ours
+    # speaker conditioning actually does something
+    assert (mels[0].shape != mels[3].shape
+            or np.abs(mels[0] - mels[3]).max() > 1e-3)

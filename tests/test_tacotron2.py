@@ -173,3 +173,77 @@ def test_teacher_scan_equals_eager_steps(t2):
     eager_out = eager(variables, tokens, token_lens, mel)
     np.testing.assert_allclose(np.asarray(mel_out), np.asarray(eager_out),
                                atol=1e-5)
+
+
+def test_full_infer_matches_reference():
+    """End-to-end autoregressive infer differential vs an independent torch
+    implementation with the reference's exact state_dict layout
+    (tests/t2_oracle.py; torchaudio — where the reference's decoder lives,
+    tacotron2_ms.py:113 — is not installed in this environment, so the
+    oracle recreates its structure from torch primitives).
+
+    Oracle runs per-sample at EXACT length (the reference wrapper's
+    `ttmel_single` semantics) with deterministic prenet (`prenet_dropout=0`
+    here); ours runs the two samples as one padded batch, so this also
+    checks pad-invariance of the conv encoder + postnet, the masked
+    attention, and the `tacotron2_params_from_torch` key mapping."""
+    torch = pytest.importorskip("torch")
+    from t2_oracle import Tacotron2Oracle
+    from tts_arabic_tpu.models.torch_import import tacotron2_params_from_torch
+
+    kw = dict(n_symbol=40, num_speakers=4, speaker_embedding_dim=8,
+              symbol_embedding_dim=32, encoder_embedding_dim=32,
+              decoder_rnn_dim=48, decoder_max_step=50,
+              attention_rnn_dim=48, attention_hidden_dim=16,
+              attention_location_n_filter=4,
+              attention_location_kernel_size=15, prenet_dim=16,
+              postnet_embedding_dim=32, postnet_n_convolution=3, n_mels=20)
+    torch.manual_seed(0)
+    ref = Tacotron2Oracle(**kw).eval()
+    with torch.no_grad():
+        # keep the stop gate shut so both sides decode all 50 steps
+        ref.decoder.gate_layer.linear_layer.bias -= 5.0
+
+    cfg = Tacotron2Config(
+        n_symbols=40, num_speakers=4, speaker_embedding_dim=8,
+        symbol_embedding_dim=32, encoder_embedding_dim=32,
+        decoder_rnn_dim=48, decoder_max_step=50, attention_rnn_dim=48,
+        attention_hidden_dim=16, attention_location_n_filters=4,
+        attention_location_kernel_size=15, prenet_dim=16,
+        postnet_embedding_dim=32, postnet_n_convolutions=3, n_mels=20,
+        prenet_dropout=0.0)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = tacotron2_params_from_torch(sd, cfg)
+    model = Tacotron2(cfg)
+
+    rng = np.random.default_rng(7)
+    tokens = rng.integers(1, 40, (2, 11)).astype(np.int32)
+    real_lens = [11, 7]
+    tokens[1, real_lens[1]:] = 0
+
+    # oracle: per-sample, exact length
+    refs = []
+    with torch.no_grad():
+        for b in range(2):
+            t = torch.from_numpy(tokens[b:b + 1, : real_lens[b]]).long()
+            mel_post, mel_lens, align = ref.infer(
+                t, speaker_ids=torch.tensor([b + 1]),
+                lengths=torch.tensor([real_lens[b]]))
+            refs.append((mel_post[0].numpy(), int(mel_lens[0]),
+                         align[0].numpy()))
+
+    # ours: one padded batch; per-row speaker ids
+    out = model.apply(
+        variables, jnp.asarray(tokens), jnp.asarray(real_lens),
+        jnp.asarray([1, 2], jnp.int32), max_steps=50,
+        rng=jax.random.PRNGKey(0), method=Tacotron2.infer)
+    mel_post = np.asarray(out["mel_postnet"])   # [B, T, n_mels]
+    mel_lens = np.asarray(out["mel_lens"])
+    aligns = np.asarray(out["alignments"])      # [B, T, T_txt]
+
+    for b, (mel_ref, len_ref, align_ref) in enumerate(refs):
+        assert mel_lens[b] == len_ref == 50
+        np.testing.assert_allclose(mel_post[b].T, mel_ref,
+                                   rtol=1e-3, atol=2e-3)
+        np.testing.assert_allclose(aligns[b, :, : real_lens[b]],
+                                   align_ref, atol=1e-3)

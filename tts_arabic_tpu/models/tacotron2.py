@@ -62,6 +62,10 @@ class Tacotron2Config:
     postnet_kernel_size: int = 5
     postnet_n_convolutions: int = 5
     gate_threshold: float = 0.5
+    # torchaudio's prenet hardcodes training=True dropout at 0.5; 0.0 makes
+    # inference deterministic (used for differential testing vs the
+    # reference with its dropout patched out)
+    prenet_dropout: float = 0.5
 
     @property
     def memory_dim(self) -> int:
@@ -257,12 +261,17 @@ class Tacotron2(nn.Module):
 
     def _prenet(self, x, rng):
         """Prenet with always-on dropout (torchaudio `_Prenet` hardcodes
-        training=True — the stochastic prenet is integral to Tacotron2)."""
+        training=True — the stochastic prenet is integral to Tacotron2).
+        `config.prenet_dropout=0` disables it (deterministic decode)."""
+        p = self.config.prenet_dropout
+        if p == 0.0:
+            return nn.relu(self.prenet2(nn.relu(self.prenet1(x))))
         r1, r2 = jax.random.split(rng)
+        scale = 1.0 / (1.0 - p)
         x = nn.relu(self.prenet1(x))
-        x = jax.random.bernoulli(r1, 0.5, x.shape) * x * 2.0
+        x = jax.random.bernoulli(r1, 1.0 - p, x.shape) * x * scale
         x = nn.relu(self.prenet2(x))
-        x = jax.random.bernoulli(r2, 0.5, x.shape) * x * 2.0
+        x = jax.random.bernoulli(r2, 1.0 - p, x.shape) * x * scale
         return x
 
     def _attend(self, query, memory, processed_memory, attn_cat, memory_mask):
