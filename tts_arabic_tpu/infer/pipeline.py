@@ -142,7 +142,7 @@ class FastPitchTTS:
     # -- jitted phases -------------------------------------------------------
 
     def _encode_fn(self, variables, tokens, pitch_mul, pitch_add, speaker,
-                   *, max_duration=75.0):
+                   pace=1.0, *, max_duration=75.0):
         """pitch_mul/pitch_add/speaker are dynamic scalars: changing the
         control values never recompiles (only new bucket shapes do).
 
@@ -151,12 +151,22 @@ class FastPitchTTS:
         lengths differ from the fp32 reference. The encode phase is a tiny
         fraction of end-to-end FLOPs (decode+vocoder dominate), so full
         precision here buys deterministic CPU/TPU-identical durations for
-        free."""
+        free.
+
+        dec_lens / dec_len_max are computed ON DEVICE (with the same
+        floor(dur/pace + 0.5) rounding `regulate_len` uses) so the host only
+        fetches one i32 scalar to pick the mel bucket — over the tunnel,
+        fetching the full [B, T] duration array per batch was the single
+        largest launch cost."""
         with jax.default_matmul_precision("float32"):
-            return self.model.apply(
+            enc = self.model.apply(
                 variables, tokens, speaker=speaker,
                 pitch_mul=pitch_mul, pitch_add=pitch_add,
                 max_duration=max_duration, method=FastPitch.encode_infer)
+        reps = jnp.floor(enc["dur_pred"] / pace + 0.5)
+        enc["dec_lens"] = jnp.sum(reps, axis=1).astype(jnp.int32)
+        enc["dec_len_max"] = jnp.max(enc["dec_lens"])
+        return enc
 
     def _decode_fn(self, variables, enc_out, durations, pace, *, max_frames):
         mel, mel_lens = self.model.apply(
@@ -169,10 +179,10 @@ class FastPitchTTS:
         return mel, mel_lens
 
     def _encode_batch(self, ids_list, speaker_id, pitch_mul, pitch_add,
-                      pad_to=None):
-        """Sort + pad + run phase-A; returns (enc, dec-len estimator inputs,
-        inverse order, n_real). Batch rows are padded to `pad_to` so partial
-        batches reuse the full batch's compiled signature."""
+                      pad_to=None, speed=1.0):
+        """Sort + pad + dispatch phase-A (ASYNC — no host sync); returns
+        (enc, inverse order, n_real). Batch rows are padded to `pad_to` so
+        partial batches reuse the full batch's compiled signature."""
         n_real = len(ids_list)
         lens = np.asarray([len(x) for x in ids_list])
         order = np.argsort(-lens)
@@ -184,7 +194,8 @@ class FastPitchTTS:
         enc = self._encode_jit(self.variables, jnp.asarray(tokens),
                                jnp.float32(pitch_mul),
                                jnp.float32(pitch_add),
-                               jnp.int32(speaker_id))
+                               jnp.int32(speaker_id),
+                               jnp.float32(speed))
         inverse = np.argsort(order)
         return enc, inverse, n_real
 
@@ -193,10 +204,9 @@ class FastPitchTTS:
         """Core batched mel synthesis; returns (mel [B,F,80], lens, inverse,
         bucket)."""
         enc, inverse, n_real = self._encode_batch(
-            ids_list, speaker_id, pitch_mul, pitch_add, pad_to)
-        dur = np.asarray(enc["dur_pred"])
-        dec_lens = np.floor(dur / float(speed) + 0.5).astype(np.int64).sum(1)
-        bucket = _pick_mel_bucket(int(dec_lens.max()))
+            ids_list, speaker_id, pitch_mul, pitch_add, pad_to, speed)
+        # one i32 scalar sync picks the mel bucket
+        bucket = _pick_mel_bucket(int(enc["dec_len_max"]))
         mel, mel_lens = self._decode_jit(
             self.variables, enc["enc_out"], enc["dur_pred"],
             jnp.float32(speed), max_frames=bucket)
@@ -347,18 +357,24 @@ class FastPitch2Wave:
         mel = mel.astype(jnp.float32) if return_mel else None
         return wave, mel, mel_lens
 
-    def _launch_batch(self, batch, speed, speaker_id, denoise, vowelizer,
-                      pitch_mul, pitch_add, return_mel, pad_to,
-                      out_int16=False):
-        """Sweeps 1+2: tokenize, encode, pick bucket, launch the wave jit
-        (async). Returns device handles + bookkeeping."""
+    def _dispatch_encode(self, batch, speed, speaker_id, vowelizer,
+                         pitch_mul, pitch_add, pad_to):
+        """Sweep 1: tokenize + dispatch phase-A (async, no host sync)."""
         m = self.model
         ids_list = [m.tokenize(t, vowelizer) for t in batch]
-        enc, inverse, n_real = m._encode_batch(
-            ids_list, speaker_id, pitch_mul, pitch_add, pad_to)
-        dur = np.asarray(enc["dur_pred"])
-        dec_lens = np.floor(dur / float(speed) + 0.5).astype(np.int64).sum(1)
-        bucket = _pick_mel_bucket(int(dec_lens.max()))
+        return m._encode_batch(ids_list, speaker_id, pitch_mul, pitch_add,
+                               pad_to, speed)
+
+    def _dispatch_wave(self, enc_handles, speed, denoise, return_mel,
+                       out_int16=False):
+        """Sweep 2: one i32 scalar sync picks the mel bucket, then the wave
+        jit is dispatched (async). Kept separate from sweep 1 so all encode
+        programs are in flight before the first bucket sync — over the
+        tunnel, each sync costs a round trip, and overlapping them with the
+        other batches' encode compute is most of the launch win."""
+        m = self.model
+        enc, inverse, n_real = enc_handles
+        bucket = _pick_mel_bucket(int(enc["dec_len_max"]))
         wave, mel, mel_lens = self._wave_jit(
             m.variables, self.vocoder_vars, self.bias_spec,
             enc["enc_out"], enc["dur_pred"],
@@ -367,18 +383,68 @@ class FastPitch2Wave:
             out_int16=out_int16)
         return wave, mel, mel_lens, inverse
 
-    def _collect_batch(self, handles, return_mel, out_int16=False):
-        """Sweep 3: fetch device results, crop, unsort."""
+    def _launch_batch(self, batch, speed, speaker_id, denoise, vowelizer,
+                      pitch_mul, pitch_add, return_mel, pad_to,
+                      out_int16=False):
+        """Sweeps 1+2 for a single batch."""
+        enc_handles = self._dispatch_encode(batch, speed, speaker_id,
+                                            vowelizer, pitch_mul, pitch_add,
+                                            pad_to)
+        return self._dispatch_wave(enc_handles, speed, denoise, return_mel,
+                                   out_int16)
+
+    # crop granularity (frames) for device-side trims before D2H: coarse
+    # enough to keep the set of tiny slice programs bounded, fine enough to
+    # cut most mel-bucket padding out of the transfer (the tunnel's
+    # ~40 MB/s D2H is the serving bottleneck)
+    _CROP_FRAMES = 64
+
+    def _crop_device(self, handles, mel_lens_np):
+        """Device-side trim of wave (and mel) to the batch's real length
+        rounded up to _CROP_FRAMES, so the D2H transfer skips bucket
+        padding. Returns new handles (still device arrays, async)."""
         wave, mel, mel_lens, inverse = handles
-        wave = np.asarray(wave)
-        mel_lens = np.asarray(mel_lens)
         hop = self.hop_length
-        waves = [wave[i, : mel_lens[i] * hop] for i in inverse]
+        frames = _round_up(int(mel_lens_np.max()), self._CROP_FRAMES)
+        if frames * hop < wave.shape[1]:
+            wave = wave[:, : frames * hop]
+            if mel is not None:
+                mel = mel[:, :frames]
+        return wave, mel, mel_lens, inverse
+
+    def _split_batch(self, wave, mel, mel_lens_np, inverse, return_mel):
+        """Crop fetched arrays per sample and unsort."""
+        hop = self.hop_length
+        waves = [wave[i, : mel_lens_np[i] * hop] for i in inverse]
         if return_mel:
-            mel = np.asarray(mel)
-            mels = [mel[i, : mel_lens[i]].T for i in inverse]
+            mels = [mel[i, : mel_lens_np[i]].T for i in inverse]
             return waves, mels
         return waves
+
+    def _collect_batch(self, handles, return_mel, out_int16=False):
+        """Sweep 3: fetch device results, crop, unsort."""
+        mel_lens_np = np.asarray(handles[2])
+        wave, mel, _, inverse = self._crop_device(handles, mel_lens_np)
+        wave = np.asarray(wave)
+        if return_mel:
+            mel = np.asarray(mel)
+        return self._split_batch(wave, mel, mel_lens_np, inverse, return_mel)
+
+    def _collect_many(self, handles_list, return_mel):
+        """Batched sweep 3 over several batches: ONE device_get over every
+        buffer at once, so each batch's D2H transfer starts the moment its
+        program finishes and overlaps the later batches' compute (a
+        pre-fetch of length vectors to crop the buffers measured slower: it
+        serializes all compute before the first big transfer, and batch-max
+        cropping only trims the bucket-to-max gap, ~10%)."""
+        fetched = jax.device_get([
+            (h[0], h[1] if return_mel else None, h[2])
+            for h in handles_list
+        ])
+        return [
+            self._split_batch(w, m, lens, h[3], return_mel)
+            for (w, m, lens), h in zip(fetched, handles_list)
+        ]
 
     def tts_batch(self, batch: List[str], speed: float = 1.0,
                   speaker_id: int = 0, denoise: float = 0.0,
@@ -417,27 +483,28 @@ class FastPitch2Wave:
         # within each batch (networks.py:16-35). Batches are LAUNCHED ahead
         # of collection (sweep pipeline) so D2H transfers of batch k overlap
         # the TPU compute of batch k+1.
-        launch_kw = dict(kw)
-        launch_kw.pop("return_mel")
         order = sorted(range(len(text_input)),
                        key=lambda i: -len(text_input[i]))
         waves = [None] * len(text_input)
         mels = [None] * len(text_input)
         bs = max(batch_size, 1)
         batches = [order[k: k + bs] for k in range(0, len(order), bs)]
-        handles = [
-            (idxs, self._launch_batch([text_input[i] for i in idxs],
-                                      launch_kw["speed"],
-                                      launch_kw["speaker_id"],
-                                      launch_kw["denoise"],
-                                      launch_kw["vowelizer"],
-                                      launch_kw["pitch_mul"],
-                                      launch_kw["pitch_add"], return_mel,
-                                      pad_to=bs, out_int16=out_int16))
+        # sweep 1: dispatch ALL encodes (async) before any host sync
+        encs = [
+            self._dispatch_encode([text_input[i] for i in idxs], speed,
+                                  speaker_id, vowelizer, pitch_mul,
+                                  pitch_add, pad_to=bs)
             for idxs in batches
         ]
-        for idxs, h in handles:
-            out = self._collect_batch(h, return_mel, out_int16)
+        # sweep 2: per-batch scalar bucket sync + wave-jit dispatch
+        handles = [
+            (idxs, self._dispatch_wave(enc, speed, denoise, return_mel,
+                                       out_int16))
+            for idxs, enc in zip(batches, encs)
+        ]
+        # sweep 3: batched two-phase collection
+        outs = self._collect_many([h for _, h in handles], return_mel)
+        for (idxs, _), out in zip(handles, outs):
             batch_waves, batch_mels = (out if return_mel else (out, None))
             for j, i in enumerate(idxs):
                 waves[i] = batch_waves[j]
