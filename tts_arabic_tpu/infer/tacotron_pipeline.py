@@ -145,9 +145,10 @@ class Tacotron2TTS:
                                 max_steps=max_steps, rng=rng,
                                 method=Tacotron2.infer)
 
-    def _infer_batch(self, tokens_list: List[List[str]], speaker_id: int,
-                     pad_to=None, rng=None):
-        """Token lists -> (mel_postnet [B,S,80], lens, aligns, inverse)."""
+    def _dispatch_infer(self, tokens_list: List[List[str]], speaker_id: int,
+                        pad_to=None, rng=None):
+        """Token lists -> device handles (ASYNC, no host sync):
+        (out dict, token lens, inverse order)."""
         n_real = len(tokens_list)
         ids_list = [np.asarray(text_frontend.tokens_to_ids(t, self.phon_to_id),
                                np.int32) for t in tokens_list]
@@ -169,15 +170,22 @@ class Tacotron2TTS:
             jnp.full((padded.shape[0],), speaker_id, jnp.int32), rng,
             max_steps=self.decoder_max_step)
         inverse = np.argsort(order)
+        return out, lens, inverse
+
+    def _infer_batch(self, tokens_list: List[List[str]], speaker_id: int,
+                     pad_to=None, rng=None):
+        """Token lists -> (mel_postnet [B,S,80], lens, aligns, inverse)."""
+        out, lens, inverse = self._dispatch_infer(tokens_list, speaker_id,
+                                                  pad_to, rng)
         return (np.asarray(out["mel_postnet"]), np.asarray(out["mel_lens"]),
                 np.asarray(out["alignments"]), lens, inverse)
 
     # -- public API ----------------------------------------------------------
 
-    def ttmel_batch(self, batch: List[str], speaker_id: int = 0,
-                    speed: Optional[float] = None,
-                    vowelizer: Optional[str] = None,
-                    postprocess_mel: bool = True, pad_to=None):
+    def _prepare_tokens(self, batch: List[str], vowelizer,
+                        postprocess_mel: bool):
+        """Tokenize + EOS-postprocess token insertion (networks.py:134-137).
+        Returns (tokens_list, do_post flags)."""
         tokens_list = [self.tokenize(t, vowelizer) for t in batch]
         do_post = []
         for toks in tokens_list:
@@ -185,10 +193,11 @@ class Tacotron2TTS:
             if p:
                 toks.insert(-N_EOS, text_frontend.SEPARATOR)
             do_post.append(p)
+        return tokens_list, do_post
 
-        mel_post, mel_lens, aligns, lens, inverse = self._infer_batch(
-            tokens_list, speaker_id, pad_to)
-
+    def _finish_ttmel(self, mel_post, mel_lens, aligns, inverse, tokens_list,
+                      do_post, speed):
+        """Host postprocess of fetched decode outputs -> list of [80, T]."""
         mels = []
         for j, i in enumerate(inverse):
             L = mel_lens[i]
@@ -201,6 +210,17 @@ class Tacotron2TTS:
                 mel = resize_mel(mel, rate=speed)
             mels.append(mel)
         return mels
+
+    def ttmel_batch(self, batch: List[str], speaker_id: int = 0,
+                    speed: Optional[float] = None,
+                    vowelizer: Optional[str] = None,
+                    postprocess_mel: bool = True, pad_to=None):
+        tokens_list, do_post = self._prepare_tokens(batch, vowelizer,
+                                                    postprocess_mel)
+        mel_post, mel_lens, aligns, _, inverse = self._infer_batch(
+            tokens_list, speaker_id, pad_to)
+        return self._finish_ttmel(mel_post, mel_lens, aligns, inverse,
+                                  tokens_list, do_post, speed)
 
     def ttmel_single(self, utterance: str, **kw):
         return self.ttmel_batch([utterance], **kw)[0]
@@ -260,6 +280,24 @@ class Tacotron2Wave:
             wave = denoiser_mod.denoise(wave, bias_spec, strength)
         return wave
 
+    def _dispatch_vocode(self, mels, denoise):
+        """Stack host mels at a bucketed length, dispatch the vocoder jit
+        (async). Returns (wave handle, per-mel frame lens)."""
+        lens = [m.shape[1] for m in mels]
+        bucket = _pick_mel_bucket(max(lens))
+        stacked = np.full((len(mels), bucket, mels[0].shape[0]), LOG_MEL_PAD,
+                          np.float32)
+        for i, m in enumerate(mels):
+            stacked[i, : m.shape[1]] = m.T
+        wave = self._vocode_jit(
+            self.vocoder_vars, self.bias_spec, jnp.asarray(stacked),
+            jnp.float32(denoise), use_denoiser=denoise > 0)
+        return wave, lens
+
+    def _split_waves(self, wave, lens):
+        hop = self.vocoder_config.hop_length
+        return [wave[i, : lens[i] * hop] for i in range(len(lens))]
+
     def tts_batch(self, batch: List[str], speaker_id: int = 0,
                   speed: Optional[float] = None, denoise: float = 0.0,
                   vowelizer: Optional[str] = None, pitch_mul=None,
@@ -271,17 +309,8 @@ class Tacotron2Wave:
                                       pad_to=pad_to)
         # vocode the whole batch at a bucketed length (the reference loops
         # the vocoder per mel, networks.py:340-345)
-        lens = [m.shape[1] for m in mels]
-        bucket = _pick_mel_bucket(max(lens))
-        stacked = np.full((len(mels), bucket, mels[0].shape[0]), LOG_MEL_PAD,
-                          np.float32)
-        for i, m in enumerate(mels):
-            stacked[i, : m.shape[1]] = m.T
-        wave = np.asarray(self._vocode_jit(
-            self.vocoder_vars, self.bias_spec, jnp.asarray(stacked),
-            jnp.float32(denoise), use_denoiser=denoise > 0))
-        hop = self.vocoder_config.hop_length
-        waves = [wave[i, : lens[i] * hop] for i in range(len(mels))]
+        wave, lens = self._dispatch_vocode(mels, denoise)
+        waves = self._split_waves(np.asarray(wave), lens)
         if return_mel:
             return waves, mels
         return waves
@@ -304,13 +333,35 @@ class Tacotron2Wave:
                   return_mel=return_mel)
         if isinstance(text_input, str):
             return self.tts_single(text_input, **kw)
-        waves, mels = [], []
+        m = self.model
+        # GLOBAL length sort: homogeneous batches waste fewer autoregressive
+        # decode steps (the while_loop runs until the LONGEST row stops) and
+        # less bucket padding. Then a 3-sweep pipeline: dispatch all decodes
+        # async; fetch + host-postprocess each batch (overlapping the later
+        # batches' decode compute) and dispatch its vocoder program; collect
+        # every wave in one device_get.
+        order = sorted(range(len(text_input)),
+                       key=lambda i: -len(text_input[i]))
         bs = max(batch_size, 1)
-        for k in range(0, len(text_input), bs):
-            out = self.tts_batch(text_input[k: k + bs], pad_to=bs, **kw)
-            if return_mel:
-                waves += out[0]
-                mels += out[1]
-            else:
-                waves += out
+        batches = [order[k: k + bs] for k in range(0, len(order), bs)]
+        prepared = [m._prepare_tokens([text_input[i] for i in idxs],
+                                      vowelizer, postprocess_mel)
+                    for idxs in batches]
+        dec = [m._dispatch_infer(tokens_list, speaker_id, pad_to=bs)
+               for tokens_list, _ in prepared]
+        voc = []
+        for (tokens_list, do_post), (out, _, inverse) in zip(prepared, dec):
+            mels_b = m._finish_ttmel(
+                np.asarray(out["mel_postnet"]), np.asarray(out["mel_lens"]),
+                np.asarray(out["alignments"]), inverse, tokens_list, do_post,
+                speed)
+            voc.append((self._dispatch_vocode(mels_b, denoise), mels_b))
+        fetched = jax.device_get([w for (w, _), _ in voc])
+        waves = [None] * len(text_input)
+        mels = [None] * len(text_input)
+        for idxs, wave_np, ((_, lens), mels_b) in zip(batches, fetched, voc):
+            batch_waves = self._split_waves(wave_np, lens)
+            for j, i in enumerate(idxs):
+                waves[i] = batch_waves[j]
+                mels[i] = mels_b[j]
         return (waves, mels) if return_mel else waves
