@@ -366,15 +366,20 @@ class FastPitch2Wave:
                                pad_to, speed)
 
     def _dispatch_wave(self, enc_handles, speed, denoise, return_mel,
-                       out_int16=False):
+                       out_int16=False, dec_len_max=None):
         """Sweep 2: one i32 scalar sync picks the mel bucket, then the wave
         jit is dispatched (async). Kept separate from sweep 1 so all encode
         programs are in flight before the first bucket sync — over the
         tunnel, each sync costs a round trip, and overlapping them with the
-        other batches' encode compute is most of the launch win."""
+        other batches' encode compute is most of the launch win.
+
+        dec_len_max: pre-fetched scalar (the multi-batch path fetches every
+        batch's in one device_get); None fetches it here."""
         m = self.model
         enc, inverse, n_real = enc_handles
-        bucket = _pick_mel_bucket(int(enc["dec_len_max"]))
+        if dec_len_max is None:
+            dec_len_max = int(enc["dec_len_max"])
+        bucket = _pick_mel_bucket(dec_len_max)
         wave, mel, mel_lens = self._wave_jit(
             m.variables, self.vocoder_vars, self.bias_spec,
             enc["enc_out"], enc["dur_pred"],
@@ -496,11 +501,13 @@ class FastPitch2Wave:
                                   pitch_add, pad_to=bs)
             for idxs in batches
         ]
-        # sweep 2: per-batch scalar bucket sync + wave-jit dispatch
+        # sweep 2: ONE device_get for every batch's bucket scalar, then
+        # wave-jit dispatches
+        maxes = jax.device_get([enc[0]["dec_len_max"] for enc in encs])
         handles = [
             (idxs, self._dispatch_wave(enc, speed, denoise, return_mel,
-                                       out_int16))
-            for idxs, enc in zip(batches, encs)
+                                       out_int16, dec_len_max=int(mx)))
+            for idxs, enc, mx in zip(batches, encs, maxes)
         ]
         # sweep 3: batched two-phase collection
         outs = self._collect_many([h for _, h in handles], return_mel)
