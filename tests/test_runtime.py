@@ -94,3 +94,30 @@ def test_pad_batch_to_devices():
     padded = pad_batch_to_devices(batch, mesh)
     assert padded["x"].shape == (8, 3)
     assert padded["x"][5:].sum() == 0
+
+
+def test_data_parallel_inference_matches_single():
+    """FastPitch2Wave with an 8-virtual-device mesh (batch axis sharded)
+    must produce byte-identical waveforms to the single-device pipeline:
+    batched synthesis is embarrassingly parallel (SURVEY.md §2.10)."""
+    import numpy as np
+    from tts_arabic_tpu.infer import FastPitch2Wave
+    from tts_arabic_tpu.parallel import make_mesh
+
+    texts = ["bisomi {ll~ahi", ">aholFA wasaholFA", "kayofa HAluka",
+             "SabAHu {loxayori", "$ukorFA", "mar~aHabFA bikum",
+             "layolapN saEiydapN", "SabAHu {ln~uwri"]
+
+    single = FastPitch2Wave(seed=3, arabic_in=False)
+    dp = FastPitch2Wave(seed=3, arabic_in=False, mesh=make_mesh())
+    # nudge durations so synthesis is non-trivial (random init predicts ~0)
+    for p in (single, dp):
+        fc = p.model.variables["params"]["duration_predictor"]["fc"]
+        fc["bias"] = fc["bias"] + 2.0
+
+    w_single = single.tts(texts, batch_size=8, denoise=0.003)
+    w_dp = dp.tts(texts, batch_size=8, denoise=0.003)
+    assert len(w_single) == len(w_dp) == len(texts)
+    for a, b in zip(w_single, w_dp):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-6)

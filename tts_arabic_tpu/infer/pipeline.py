@@ -72,11 +72,17 @@ class FastPitchTTS:
 
     def __init__(self, checkpoint=None, config: FastPitchConfig | None = None,
                  arabic_in: bool = True, vowelizer: Optional[str] = None,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
+        """mesh: optional `jax.sharding.Mesh` (see `parallel.make_mesh`) for
+        data-parallel synthesis — params replicate, the batch axis shards
+        across chips (the reference has no multi-device story, SURVEY.md
+        §2.10; batched TTS is embarrassingly parallel so DP over ICI is the
+        whole design). Single-chip is the degenerate 1-device case."""
         self.arabic_in = arabic_in
         self.default_vowelizer = vowelizer
         self._vowelizers = {}
         self.phon_to_id = None
+        self.mesh = mesh
 
         params = None
         if checkpoint is not None:
@@ -87,6 +93,9 @@ class FastPitchTTS:
             tokens = jnp.zeros((1, 8), jnp.int32)
             params = self.model.init(jax.random.PRNGKey(seed), tokens,
                                      max_frames=16)
+        if mesh is not None:
+            from ..parallel import replicate
+            params = replicate(params, mesh)
         self.variables = params
         self._encode_jit = jax.jit(functools.partial(self._encode_fn),
                                    static_argnames=("max_duration",))
@@ -187,11 +196,18 @@ class FastPitchTTS:
         lens = np.asarray([len(x) for x in ids_list])
         order = np.argsort(-lens)
         ids_sorted = [ids_list[i] for i in order]
-        if pad_to is not None and n_real < pad_to:
-            ids_sorted += [np.zeros(1, np.int32)] * (pad_to - n_real)
+        rows = pad_to if pad_to is not None else n_real
+        if self.mesh is not None:  # batch axis must divide the mesh
+            rows += (-rows) % self.mesh.devices.size
+        if n_real < rows:
+            ids_sorted += [np.zeros(1, np.int32)] * (rows - n_real)
         tokens = _pad_ids(ids_sorted, _round_up(max(int(lens.max()), 1),
                                                 TEXT_BUCKET))
-        enc = self._encode_jit(self.variables, jnp.asarray(tokens),
+        tokens = jnp.asarray(tokens)
+        if self.mesh is not None:
+            from ..parallel import batch_sharded
+            tokens = jax.device_put(tokens, batch_sharded(self.mesh))
+        enc = self._encode_jit(self.variables, tokens,
                                jnp.float32(pitch_mul),
                                jnp.float32(pitch_add),
                                jnp.int32(speaker_id),
@@ -249,7 +265,8 @@ class FastPitch2Wave:
     def __init__(self, model_sd_path=None, vocoder_sd=None,
                  vocoder_config=None, vowelizer: Optional[str] = None,
                  arabic_in: bool = True, config=None, seed: int = 0,
-                 compute_dtype=None, vocoder_type: str = "hifigan"):
+                 compute_dtype=None, vocoder_type: str = "hifigan",
+                 mesh=None):
         """compute_dtype: jnp.bfloat16 runs the decoder+vocoder hot path on
         the MXU's native bf16 (~2x on TPU); weights stay fp32 in memory and
         are cast at trace time; the spectral denoiser stays fp32. None =
@@ -263,7 +280,7 @@ class FastPitch2Wave:
         self.vocoder_type = vocoder_type
         self.model = FastPitchTTS(model_sd_path, config=config,
                                   arabic_in=arabic_in, vowelizer=vowelizer,
-                                  seed=seed)
+                                  seed=seed, mesh=mesh)
         if vocoder_type == "vocos":
             from ..vocoder.vocos import CONFIG_22K, MelVocosModule
             from ..models.torch_import import vocos_params_from_torch
@@ -306,6 +323,10 @@ class FastPitch2Wave:
                 lambda v: denoiser_mod.compute_bias_spec(self.vocoder.apply,
                                                          v)
             )(self.vocoder_vars)
+        if mesh is not None:
+            from ..parallel import replicate
+            self.vocoder_vars = replicate(self.vocoder_vars, mesh)
+            self.bias_spec = replicate(self.bias_spec, mesh)
         self._wave_jit = jax.jit(self._wave_fn,
                                  static_argnames=("max_frames",
                                                   "use_denoiser",
