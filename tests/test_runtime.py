@@ -121,3 +121,19 @@ def test_data_parallel_inference_matches_single():
     for a, b in zip(w_single, w_dp):
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_profiling_benchmark_and_annotations(tmp_path):
+    import jax.numpy as jnp
+    from tts_arabic_tpu.runtime import profiling
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    x = jnp.ones((64, 64))
+    t = profiling.benchmark(lambda: f(x), warmup=1, iters=3)
+    assert t.best_s > 0 and t.mean_s >= t.best_s and len(t.times_s) == 3
+    assert "ms" in str(t)
+    with profiling.annotate("matmul"):
+        profiling.block(f(x))
+    with profiling.trace(tmp_path):
+        profiling.block(f(x))
+    assert any(tmp_path.rglob("*"))  # trace files written
