@@ -52,3 +52,22 @@ def test_partial_batches_reuse_signature(pipe):
     enc_before = _traces(pipe.model._encode_jit)
     pipe.tts(texts[:1] * 4, batch_size=2, denoise=0.0)
     assert _traces(pipe.model._encode_jit) == enc_before
+
+
+def test_warmup_precompiles_signatures():
+    """After warmup(), requests that land on warmed buckets add no new
+    traces."""
+    import jax.numpy as jnp
+    from tts_arabic_tpu.infer import FastPitch2Wave
+
+    pipe = FastPitch2Wave(seed=0, arabic_in=False)
+    fc = pipe.model.variables["params"]["duration_predictor"]["fc"]
+    fc["bias"] = fc["bias"] + 2.0
+    pipe.warmup(batch_sizes=(2,), text_buckets=(16,),
+                mel_buckets=(64, 128, 192, 256))
+
+    enc_before = _traces(pipe.model._encode_jit)
+    wave_before = _traces(pipe._wave_jit)
+    pipe.tts(["bisomi {ll~ahi", ">aholFA"], batch_size=2)
+    assert _traces(pipe.model._encode_jit) == enc_before
+    assert _traces(pipe._wave_jit) == wave_before

@@ -488,6 +488,29 @@ class FastPitch2Wave:
             return out[0][0], out[1][0]
         return out[0]
 
+    def warmup(self, batch_sizes=(2,), text_buckets=(16, 32),
+               mel_buckets=(256, 512, 1024), denoise: float = 0.005,
+               return_mel: bool = False, out_int16: bool = False):
+        """Precompile the jit signatures a serving deployment will hit, so
+        no request pays first-compile latency (compilations also land in
+        the persistent cache, surviving restarts). Compiles |batch_sizes| x
+        |text_buckets| encode programs and x |mel_buckets| wave programs
+        with zero inputs."""
+        m = self.model
+        for bs in batch_sizes:
+            for tb in text_buckets:
+                enc = m._encode_jit(m.variables,
+                                    jnp.zeros((bs, tb), jnp.int32),
+                                    jnp.float32(1.0), jnp.float32(0.0),
+                                    jnp.int32(0), jnp.float32(1.0))
+                for mb in mel_buckets:
+                    self._wave_jit(
+                        m.variables, self.vocoder_vars, self.bias_spec,
+                        enc["enc_out"], enc["dur_pred"],
+                        jnp.float32(denoise), jnp.float32(1.0),
+                        max_frames=mb, use_denoiser=denoise > 0,
+                        return_mel=return_mel, out_int16=out_int16)
+
     def tts(self, text_input: Union[str, List[str]], speed: float = 1.0,
             denoise: float = 0.005, speaker_id: int = 0, batch_size: int = 2,
             vowelizer: Optional[str] = None, pitch_mul: float = 1.0,
