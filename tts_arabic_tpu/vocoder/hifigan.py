@@ -163,9 +163,10 @@ class Generator(nn.Module):
         return jnp.tanh(x).squeeze(-1)
 
 
-def chunked_vocode(apply_fn, variables, mel, *, core: int = 224,
+def chunked_vocode(apply_fn, variables, mel, *, core: int = 480,
                    overlap: int = 16, slab: int = 64,
-                   pad_value: float = -11.512925):
+                   pad_value: float = -11.512925,
+                   direct_limit: int = 32768):
     """Memory-bounded vocoding of long/batched mels via overlap-discard.
 
     mel: [B, F, n_mels] -> wave [B, F*hop], BIT-IDENTICAL to vocoding the
@@ -184,7 +185,10 @@ def chunked_vocode(apply_fn, variables, mel, *, core: int = 224,
     """
     B, F, C = mel.shape
     window = core + 2 * overlap
-    if F <= window:  # short enough to vocode directly
+    # one fused call is ~25% faster than tiling (no overlap recompute,
+    # better MXU utilization) and fits HBM below ~32k batch*frames
+    # (B=16 x F=2048 measured fine; 16 x 3072 OOMs the 16G chip)
+    if F <= window or B * F <= direct_limit:
         return apply_fn(variables, mel)
 
     n_chunks = -(-F // core)
