@@ -67,6 +67,20 @@ def main():
 
     audio_sec = total / sr
     rtf = audio_sec / elapsed
+
+    # device-compute-only RTF (no D2H): the tunnel's ~40 MB/s D2H roughly
+    # halves e2e here; a locally-attached host sees closer to this ceiling
+    order = sorted(range(len(lines)), key=lambda i: -len(lines[i]))
+    batches = [order[k: k + batch_size]
+               for k in range(0, len(order), batch_size)]
+    t0 = time.perf_counter()
+    encs = [pipe._dispatch_encode([lines[i] for i in idxs], 1.0, 0, None,
+                                  1.0, 0.0, batch_size) for idxs in batches]
+    handles = [pipe._dispatch_wave(e, 1.0, 0.005, False, True) for e in encs]
+    for h in handles:
+        h[0].block_until_ready()
+    compute_rtf = audio_sec / (time.perf_counter() - t0)
+
     result = {
         "metric": "rtf_fastpitch_hifigan_e2e",
         "value": round(rtf, 2),
@@ -76,6 +90,7 @@ def main():
     print(json.dumps(result))
     print(f"# {len(lines)} prompts, {audio_sec:.1f}s audio, "
           f"{elapsed:.2f}s wall (warmup {warm:.1f}s), "
+          f"compute-only {compute_rtf:.0f}x, "
           f"platform={jax.devices()[0].platform}", file=sys.stderr)
 
 
