@@ -98,3 +98,27 @@ def test_speaker_id_multispeaker():
     w0 = pipe.tts(ARABIC, denoise=0.0, speaker_id=0)
     w2 = pipe.tts(ARABIC, denoise=0.0, speaker_id=2)
     assert not (len(w0) == len(w2) and np.allclose(w0, w2))
+
+
+def test_stream_equals_tts_single():
+    """Streaming chunks concatenate to exactly the non-streaming waveform
+    (receptive-field-exact overlap-discard, aligned STFT grid)."""
+    from tts_arabic_tpu.infer import FastPitch2Wave
+
+    pipe = FastPitch2Wave(seed=0, arabic_in=False)
+    fc = pipe.model.variables["params"]["duration_predictor"]["fc"]
+    fc["bias"] = fc["bias"] + 2.0
+
+    text = "bisomi {ll~ahi {lr~aHoma`ni {lr~aHiymi"
+    full = pipe.tts_single(text, denoise=0.004)
+    chunks = list(pipe.stream(text, chunk_frames=48, denoise=0.004))
+    assert len(chunks) >= 3
+    streamed = np.concatenate(chunks)
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(streamed, full, atol=2e-5)
+
+    # denoiser off path too
+    full0 = pipe.tts_single(text, denoise=0.0)
+    streamed0 = np.concatenate(list(pipe.stream(text, chunk_frames=48,
+                                                denoise=0.0)))
+    np.testing.assert_allclose(streamed0, full0, atol=2e-5)

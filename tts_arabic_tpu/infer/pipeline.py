@@ -488,6 +488,79 @@ class FastPitch2Wave:
             return out[0][0], out[1][0]
         return out[0]
 
+    # -- streaming synthesis ---------------------------------------------
+
+    def _stream_chunk_fn(self, voc_vars, bias_spec, mel, start,
+                         denoise_strength, *, window, use_denoiser,
+                         out_int16):
+        """Vocode (+denoise) one `window`-frame slice of the decoded mel.
+        `start` is a traced scalar: every chunk of a stream reuses one
+        compiled program."""
+        dt = self.compute_dtype
+        if dt is not None:
+            cast = lambda t: jax.tree.map(
+                lambda x: x.astype(dt)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+            voc_vars, mel = cast(voc_vars), mel.astype(dt)
+        piece = jax.lax.dynamic_slice_in_dim(mel, start, window, axis=1)
+        if self.vocoder_type == "vocos":
+            strength = denoise_strength if use_denoiser else 0.0
+            wave = self.vocoder.apply(voc_vars, piece,
+                                      bias_spec.astype(piece.dtype), strength)
+        else:
+            wave = self.vocoder.apply(voc_vars, piece)
+            if use_denoiser:
+                wave = denoiser_mod.denoise(wave.astype(jnp.float32),
+                                            bias_spec, denoise_strength)
+        wave = wave.astype(jnp.float32)
+        if out_int16:
+            wave = (jnp.clip(wave, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+        return wave
+
+    def stream(self, utterance: str, chunk_frames: int = 128,
+               overlap: int = 16, speed: float = 1.0, denoise: float = 0.005,
+               speaker_id: int = 0, vowelizer: Optional[str] = None,
+               pitch_mul: float = 1.0, pitch_add: float = 0.0,
+               out_int16: bool = False):
+        """Streaming synthesis: yields waveform chunks (np arrays,
+        `chunk_frames*hop` samples each, final one shorter) as soon as each
+        is vocoded — first-audio latency is one chunk instead of the whole
+        utterance. The reference has no streaming story.
+
+        Bit-equal to `tts_single`: the full mel is decoded up front (the
+        parallel decoder is cheap; only vocoding is streamed), and each
+        window carries `overlap` >= the HiFi-GAN receptive field (~13
+        frames) + the denoiser's STFT context (4 frames), with the core
+        cut out overlap-discard style. Window starts are multiples of the
+        hop so the denoiser's STFT frame grid aligns with the full-wave
+        grid."""
+        m = self.model
+        ids = m.tokenize(utterance, vowelizer)
+        enc, _, _ = m._encode_batch([ids], speaker_id, pitch_mul, pitch_add,
+                                    None, speed)
+        dec_len = int(enc["dec_len_max"])
+        window = chunk_frames + 2 * overlap
+        bucket = _pick_mel_bucket(max(dec_len, window))
+        mel, _ = m._decode_jit(m.variables, enc["enc_out"], enc["dur_pred"],
+                               jnp.float32(speed), max_frames=bucket)
+        if not hasattr(self, "_stream_jit"):
+            self._stream_jit = jax.jit(
+                self._stream_chunk_fn,
+                static_argnames=("window", "use_denoiser", "out_int16"))
+        hop = self.hop_length
+        n_chunks = max(-(-dec_len // chunk_frames), 1)
+        for i in range(n_chunks):
+            start = int(np.clip(i * chunk_frames - overlap, 0,
+                                bucket - window))
+            core_off = i * chunk_frames - start
+            wave_w = self._stream_jit(
+                self.vocoder_vars, self.bias_spec, mel, jnp.int32(start),
+                jnp.float32(denoise), window=window,
+                use_denoiser=denoise > 0, out_int16=out_int16)
+            core_len = min(chunk_frames, dec_len - i * chunk_frames)
+            yield np.asarray(
+                wave_w[0, core_off * hop: (core_off + core_len) * hop])
+
     def warmup(self, batch_sizes=(2,), text_buckets=(16, 32),
                mel_buckets=(256, 512, 1024), denoise: float = 0.005,
                return_mel: bool = False, out_int16: bool = False):
