@@ -22,7 +22,8 @@ from ..parallel import make_mesh
 from ..runtime.cache import enable_compilation_cache
 from ..runtime.config import get_config
 from ..train.gan import PatchDiscriminator
-from ..train.steps import TrainState, make_fastpitch_train_step, make_optimizer
+from ..train.steps import (TrainState, make_fastpitch_eval_step,
+                           make_fastpitch_train_step, make_optimizer)
 from ..train.trainer import Trainer
 
 
@@ -38,11 +39,14 @@ def main(argv=None):
     enable_compilation_cache()
     config = get_config(args.config)
 
+    f0_path = (config.get_path("f0_dict_path")
+               if config.get("f0_dict_path") else None)
+    if f0_path is not None and not f0_path.is_file():
+        f0_path = None
     dataset = ArabDatasetFastPitch(
         config.train_labels, config.train_wavs_path,
         label_pattern=config.label_pattern,
-        f0_dict_path=(config.get_path("f0_dict_path")
-                      if config.get_path("f0_dict_path").exists() else None),
+        f0_dict_path=f0_path,
         f0_mean=config.f0_mean, f0_std=config.f0_std)
     dyn = DynBatchDataset(dataset, max_lengths=config.max_lengths,
                           batch_sizes=config.batch_sizes)
@@ -99,7 +103,24 @@ def main(argv=None):
     if config.get("restore_model"):
         trainer.restore(config.get_path("restore_model"))
 
-    trainer.fit(dyn, collate_fastpitch, epochs=args.epochs or config.epochs)
+    # per-epoch validation on the held-out split (reference validate(),
+    # train.py:19-58 — disabled in its live scripts; here it is on)
+    val_dyn = eval_fn = None
+    if config.get("test_labels"):
+        val_dataset = ArabDatasetFastPitch(
+            config.test_labels,
+            config.get("test_wavs_path") or config.train_wavs_path,
+            label_pattern=config.label_pattern,
+            f0_dict_path=f0_path,
+            f0_mean=config.f0_mean, f0_std=config.f0_std)
+        if len(val_dataset):
+            val_dyn = DynBatchDataset(val_dataset,
+                                      max_lengths=config.max_lengths,
+                                      batch_sizes=config.batch_sizes)
+            eval_fn = make_fastpitch_eval_step(model)
+
+    trainer.fit(dyn, collate_fastpitch, epochs=args.epochs or config.epochs,
+                val_dataset=val_dyn, eval_fn=eval_fn)
 
 
 if __name__ == "__main__":

@@ -21,7 +21,8 @@ from ..parallel import make_mesh
 from ..runtime.cache import enable_compilation_cache
 from ..runtime.config import get_config
 from ..train.gan import PatchDiscriminator
-from ..train.steps import TrainState, make_optimizer, make_tacotron_train_step
+from ..train.steps import (TrainState, make_optimizer,
+                           make_tacotron_eval_step, make_tacotron_train_step)
 from ..train.trainer import Trainer
 
 
@@ -113,7 +114,24 @@ def main(argv=None):
                       mesh=mesh, net_config=model_config.__dict__)
     if config.get("restore_model"):
         trainer.restore(config.get_path("restore_model"))
-    trainer.fit(batches, collate_tacotron, epochs=args.epochs or config.epochs)
+
+    # per-epoch validation on the held-out split
+    val_batches = eval_fn = None
+    if config.get("test_labels"):
+        val_dataset = ArabDataset(
+            config.test_labels,
+            config.get("test_wavs_path") or config.train_wavs_path,
+            label_pattern=config.label_pattern)
+        if len(val_dataset):
+            val_batches = _BatchedView(
+                val_dataset, config.batch_size,
+                max_frames=config.get("max_frames", 2000),
+                truncated=config.get("truncated_batch_size", 6))
+            eval_fn = make_tacotron_eval_step(model)
+
+    trainer.fit(batches, collate_tacotron,
+                epochs=args.epochs or config.epochs,
+                val_dataset=val_batches, eval_fn=eval_fn)
 
 
 if __name__ == "__main__":

@@ -227,3 +227,51 @@ def make_tacotron_train_step(model: Tacotron2, tx,
             d_spectral=new_spectral if adv else state.d_spectral), meta
 
     return step
+
+
+def make_fastpitch_eval_step(model: FastPitch):
+    """Validation step (reference `validate()`, train.py:19-58): forward
+    only, deterministic, no optimizer. Returns (meta, artifacts) — the
+    artifacts carry the soft attention and mels for TB figures."""
+
+    def eval_step(state, batch, rng):
+        attn_soft, _ = model.apply(
+            {"params": state.params}, batch["tokens"], batch["mel_tgt"],
+            batch["attn_prior"], method=FastPitch.align_attention)
+        attn_hard, durs = mas_durations(attn_soft, batch["token_lens"],
+                                        batch["mel_lens"])
+        out = model.apply(
+            {"params": state.params}, batch["tokens"], batch["token_lens"],
+            batch["mel_tgt"], batch["mel_lens"], batch["pitch_dense"],
+            batch["energy_dense"], batch["attn_prior"], durs,
+            deterministic=True, method=FastPitch.forward_train)
+        loss, meta = fastpitch_loss(out, batch)
+        kl = attention_binarization_loss(attn_hard, out["attn_soft"])
+        meta["kl_loss"] = kl
+        meta["loss"] = loss + kl
+        artifacts = {"alignment": out["attn_soft"],  # [B, T_mel, T_txt]
+                     "mel_pred": out["mel_out"],
+                     "mel_tgt": batch["mel_tgt"]}
+        return meta, artifacts
+
+    return eval_step
+
+
+def make_tacotron_eval_step(model: Tacotron2):
+    """Validation step for Tacotron2 (teacher-forced, eval-mode BN, no
+    optimizer). Returns (meta, artifacts)."""
+
+    def eval_step(state, batch, rng):
+        mel_out, mel_post, gates, aligns = model.apply(
+            {"params": state.params, "batch_stats": state.extra},
+            batch["tokens"], batch["token_lens"], batch["mel_tgt"],
+            batch["mel_lens"], train=False)
+        loss, meta = tacotron2_loss(
+            mel_out, mel_post, gates, batch["mel_tgt"], batch["gate_tgt"],
+            batch["mel_lens"])
+        meta["loss"] = loss
+        artifacts = {"alignment": aligns, "mel_pred": mel_post,
+                     "mel_tgt": batch["mel_tgt"]}
+        return meta, artifacts
+
+    return eval_step

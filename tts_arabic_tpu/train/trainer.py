@@ -79,8 +79,42 @@ class Trainer:
                                     config={"net_config": self.net_config},
                                     **trees)
 
+    def validate(self, val_dataset, collate_fn, eval_fn, step: int,
+                 figures: bool = True):
+        """Run the eval step over a validation set, log mean `val/` scalars
+        and (optionally) alignment + mel figures for the first sample
+        (reference `validate()`, train.py:19-58). `eval_fn(state, batch,
+        rng) -> (meta, artifacts)` — see `make_*_eval_step`."""
+        if not hasattr(self, "_eval_jit") or self._eval_fn is not eval_fn:
+            self._eval_fn = eval_fn
+            self._eval_jit = jax.jit(eval_fn)
+        sums, n = {}, 0
+        first_artifacts = None
+        for b_idx in range(len(val_dataset)):
+            batch = collate_fn(val_dataset[b_idx])
+            meta, artifacts = self._eval_jit(self.state, self._put(batch),
+                                             self.rng)
+            if first_artifacts is None:
+                first_artifacts = jax.device_get(artifacts)
+            for k, v in meta.items():
+                sums[k] = sums.get(k, 0.0) + float(np.asarray(v))
+            n += 1
+        means = {k: v / max(n, 1) for k, v in sums.items()}
+        self.logger.log_scalars(step, means, prefix="val/")
+        if figures and first_artifacts is not None:
+            a = first_artifacts
+            self.logger.log_alignment_and_mels(
+                step,
+                alignment=np.asarray(a["alignment"])[0].T,
+                mel_pred=np.asarray(a["mel_pred"])[0].T,
+                mel_target=np.asarray(a["mel_tgt"])[0].T)
+        print(f"validation @ step {step}: "
+              f"loss {means.get('loss', float('nan')):.4f} ({n} batches)")
+        return means
+
     def fit(self, dataset, collate_fn, epochs: int, start_epoch: int = 0,
-            log_every: int = 10, on_epoch_end=None):
+            log_every: int = 10, on_epoch_end=None,
+            val_dataset=None, val_collate_fn=None, eval_fn=None):
         """dataset yields whole batches (DynBatchDataset style)."""
         step = int(np.asarray(jax.device_get(self.state.step)))
         for epoch in range(start_epoch, epochs):
@@ -100,6 +134,9 @@ class Trainer:
                           f"loss {meta_host.get('loss', 0):.4f}")
                 self.save(step, epoch)
                 step += 1
+            if val_dataset is not None and eval_fn is not None:
+                self.validate(val_dataset, val_collate_fn or collate_fn,
+                              eval_fn, step)
             if on_epoch_end is not None:
                 on_epoch_end(self, epoch)
         self.save(step, epochs)
