@@ -32,6 +32,24 @@ def _load_reference(ref_dir):
     load_reference(ref_dir)
 
 
+def make_selftest_vocoder(path, config_path, seed: int = 1):
+    """Write a reference-format HiFi-GAN .pth ({'generator': state_dict})
+    with random weights."""
+    import json
+    import torch
+    from vocoder.hifigan.models import Generator as RefGenerator
+
+    class _AttrDict(dict):
+        __getattr__ = dict.__getitem__
+
+    with open(config_path) as f:
+        h = _AttrDict(json.load(f))
+    torch.manual_seed(seed)
+    gen = RefGenerator(h)
+    torch.save({"generator": gen.state_dict()}, path)
+    return path
+
+
 def make_selftest_checkpoint(path, n_symbols: int = 40, seed: int = 0):
     """Write a reference-format FastPitch .pth with random weights (+ biased
     durations so synthesis is non-trivial)."""
@@ -56,7 +74,12 @@ def main(argv=None):
     parser.add_argument("--list", default=None)
     parser.add_argument("--n", type=int, default=10)
     parser.add_argument("--selftest", action="store_true",
-                        help="generate a random reference-format ckpt first")
+                        help="generate random reference-format ckpts first")
+    parser.add_argument("--vocoder-sd", default=None,
+                        help="HiFi-GAN .pth: also compare waveforms (SNR)")
+    parser.add_argument("--vocoder-config", default=None,
+                        help="HiFi-GAN config.json (default: the "
+                             "reference's hifigan-asc-v1)")
     parser.add_argument("--out", default=None)
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
@@ -68,11 +91,20 @@ def main(argv=None):
     _load_reference(args.reference_dir)
     root = pathlib.Path(__file__).resolve().parents[2]
 
+    voc_config = args.vocoder_config or str(
+        pathlib.Path(args.reference_dir)
+        / "pretrained/hifigan-asc-v1/config.json")
+
     ckpt = args.checkpoint
+    voc_sd = args.vocoder_sd
     if args.selftest or ckpt is None:
         ckpt = "/tmp/parity_selftest_fastpitch.pth"
         make_selftest_checkpoint(ckpt)
         print(f"selftest checkpoint -> {ckpt}")
+        if voc_sd is None:
+            voc_sd = "/tmp/parity_selftest_hifigan.pth"
+            make_selftest_vocoder(voc_sd, voc_config)
+            print(f"selftest vocoder -> {voc_sd}")
 
     label = re.compile(r'"[^"]+"\s+"(?P<text>[^"]+)"')
     list_path = args.list or (root / "data" / "infer_test.txt")
@@ -101,8 +133,25 @@ def main(argv=None):
         return mel[0].numpy()  # [80, T]
 
     # --- our side -----------------------------------------------------------
+    import jax
+    import jax.numpy as jnp
     from tts_arabic_tpu.infer import FastPitchTTS
     ours = FastPitchTTS(ckpt, arabic_in=False)
+
+    # --- optional vocoder side (wave SNR) ------------------------------------
+    ref_gen = our_voc_apply = our_voc_vars = None
+    if voc_sd is not None:
+        from vocoder import load_hifigan  # reference loader (:3-20)
+        from tts_arabic_tpu.models.torch_import import (
+            hifigan_params_from_torch)
+        from tts_arabic_tpu.runtime.checkpoint import load_torch_state_dict
+        from tts_arabic_tpu.vocoder.hifigan import Generator, HiFiGANConfig
+        ref_gen = load_hifigan(voc_sd, voc_config)
+        cfg_v = HiFiGANConfig.from_json(voc_config)
+        sd_v = load_torch_state_dict(voc_sd)
+        sd_v.pop("__extras__", None)
+        our_voc_vars = hifigan_params_from_torch(sd_v, cfg_v)
+        our_voc_apply = jax.jit(Generator(cfg_v).apply)
 
     from tts_arabic_tpu.eval import mcd
     rows = []
@@ -110,14 +159,25 @@ def main(argv=None):
         mel_ref = ref_ttmel(text)
         mel_our = ours.ttmel_single(text)
         T = min(mel_ref.shape[1], mel_our.shape[1])
-        rows.append({
+        row = {
             "text": text[:40],
             "frames_ref": int(mel_ref.shape[1]),
             "frames_ours": int(mel_our.shape[1]),
             "mcd": mcd(mel_our[:, :T], mel_ref[:, :T], align=False),
             "mel_max_abs_diff": float(
                 np.abs(mel_our[:, :T] - mel_ref[:, :T]).max()),
-        })
+        }
+        if ref_gen is not None:
+            with torch.no_grad():
+                w_ref = ref_gen(
+                    torch.from_numpy(mel_ref[None]))[0, 0].numpy()
+            w_our = np.asarray(our_voc_apply(
+                our_voc_vars, jnp.asarray(mel_our.T[None])))[0]
+            n = min(len(w_ref), len(w_our))
+            err = float(np.sum((w_our[:n] - w_ref[:n]) ** 2))
+            row["wave_snr_db"] = float(
+                10.0 * np.log10(np.sum(w_ref[:n] ** 2) / max(err, 1e-30)))
+        rows.append(row)
     agg = {
         "mean_mcd": float(np.mean([r["mcd"] for r in rows])),
         "max_mcd": float(np.max([r["mcd"] for r in rows])),
@@ -125,6 +185,9 @@ def main(argv=None):
         "length_mismatches": int(sum(r["frames_ref"] != r["frames_ours"]
                                      for r in rows)),
     }
+    if rows and "wave_snr_db" in rows[0]:
+        agg["min_wave_snr_db"] = float(
+            np.min([r["wave_snr_db"] for r in rows]))
     report = {"checkpoint": str(ckpt), "n": len(rows), "aggregate": agg,
               "per_utterance": rows}
     if args.out:

@@ -527,13 +527,13 @@ class FastPitch2Wave:
         is vocoded — first-audio latency is one chunk instead of the whole
         utterance. The reference has no streaming story.
 
-        Bit-equal to `tts_single`: the full mel is decoded up front (the
-        parallel decoder is cheap; only vocoding is streamed), and each
-        window carries `overlap` >= the HiFi-GAN receptive field (~13
-        frames) + the denoiser's STFT context (4 frames), with the core
-        cut out overlap-discard style. Window starts are multiples of the
-        hop so the denoiser's STFT frame grid aligns with the full-wave
-        grid."""
+        Matches `tts_single` to float tolerance: the full mel is decoded up
+        front in the same compute dtype (the parallel decoder is cheap;
+        only vocoding is streamed), and each window carries `overlap` >=
+        the HiFi-GAN receptive field (~13 frames) + the denoiser's STFT
+        context (4 frames), with the core cut out overlap-discard style.
+        Window starts are multiples of the hop so the denoiser's STFT
+        frame grid aligns with the full-wave grid."""
         m = self.model
         ids = m.tokenize(utterance, vowelizer)
         enc, _, _ = m._encode_batch([ids], speaker_id, pitch_mul, pitch_add,
@@ -541,7 +541,14 @@ class FastPitch2Wave:
         dec_len = int(enc["dec_len_max"])
         window = chunk_frames + 2 * overlap
         bucket = _pick_mel_bucket(max(dec_len, window))
-        mel, _ = m._decode_jit(m.variables, enc["enc_out"], enc["dur_pred"],
+        fp_vars, enc_out = m.variables, enc["enc_out"]
+        if self.compute_dtype is not None:  # same decode dtype as _wave_fn
+            dt = self.compute_dtype
+            cast = lambda t: jax.tree.map(
+                lambda x: x.astype(dt)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+            fp_vars, enc_out = cast(fp_vars), enc_out.astype(dt)
+        mel, _ = m._decode_jit(fp_vars, enc_out, enc["dur_pred"],
                                jnp.float32(speed), max_frames=bucket)
         if not hasattr(self, "_stream_jit"):
             self._stream_jit = jax.jit(
@@ -568,12 +575,19 @@ class FastPitch2Wave:
         no request pays first-compile latency (compilations also land in
         the persistent cache, surviving restarts). Compiles |batch_sizes| x
         |text_buckets| encode programs and x |mel_buckets| wave programs
-        with zero inputs."""
+        with zero inputs. Under a DP mesh, batch sizes round up to the
+        mesh and tokens are batch-sharded, exactly like real requests."""
         m = self.model
         for bs in batch_sizes:
             for tb in text_buckets:
-                enc = m._encode_jit(m.variables,
-                                    jnp.zeros((bs, tb), jnp.int32),
+                if m.mesh is not None:
+                    from ..parallel import batch_sharded
+                    bs = bs + (-bs) % m.mesh.devices.size
+                    tokens = jax.device_put(jnp.zeros((bs, tb), jnp.int32),
+                                            batch_sharded(m.mesh))
+                else:
+                    tokens = jnp.zeros((bs, tb), jnp.int32)
+                enc = m._encode_jit(m.variables, tokens,
                                     jnp.float32(1.0), jnp.float32(0.0),
                                     jnp.int32(0), jnp.float32(1.0))
                 for mb in mel_buckets:
@@ -596,7 +610,8 @@ class FastPitch2Wave:
         """
         kw = dict(speed=speed, denoise=denoise, speaker_id=speaker_id,
                   vowelizer=vowelizer, pitch_mul=pitch_mul,
-                  pitch_add=pitch_add, return_mel=return_mel)
+                  pitch_add=pitch_add, return_mel=return_mel,
+                  out_int16=out_int16)
         if isinstance(text_input, str):
             return self.tts_single(text_input, **kw)
         # GLOBAL length sort before batching: batches become homogeneous in

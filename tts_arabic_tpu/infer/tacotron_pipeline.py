@@ -336,32 +336,39 @@ class Tacotron2Wave:
         m = self.model
         # GLOBAL length sort: homogeneous batches waste fewer autoregressive
         # decode steps (the while_loop runs until the LONGEST row stops) and
-        # less bucket padding. Then a 3-sweep pipeline: dispatch all decodes
-        # async; fetch + host-postprocess each batch (overlapping the later
-        # batches' decode compute) and dispatch its vocoder program; collect
-        # every wave in one device_get.
+        # less bucket padding. Decodes are dispatched a bounded WINDOW ahead
+        # of collection — deep enough that host-side mel postprocessing and
+        # wave fetches overlap the later batches' decode compute, bounded so
+        # device memory stays O(WINDOW) batches however long the request
+        # list is (decode buffers are mel+alignments at decoder_max_step).
+        WINDOW = 4
         order = sorted(range(len(text_input)),
                        key=lambda i: -len(text_input[i]))
         bs = max(batch_size, 1)
         batches = [order[k: k + bs] for k in range(0, len(order), bs)]
-        prepared = [m._prepare_tokens([text_input[i] for i in idxs],
-                                      vowelizer, postprocess_mel)
-                    for idxs in batches]
-        dec = [m._dispatch_infer(tokens_list, speaker_id, pad_to=bs)
-               for tokens_list, _ in prepared]
-        voc = []
-        for (tokens_list, do_post), (out, _, inverse) in zip(prepared, dec):
-            mels_b = m._finish_ttmel(
-                np.asarray(out["mel_postnet"]), np.asarray(out["mel_lens"]),
-                np.asarray(out["alignments"]), inverse, tokens_list, do_post,
-                speed)
-            voc.append((self._dispatch_vocode(mels_b, denoise), mels_b))
-        fetched = jax.device_get([w for (w, _), _ in voc])
         waves = [None] * len(text_input)
         mels = [None] * len(text_input)
-        for idxs, wave_np, ((_, lens), mels_b) in zip(batches, fetched, voc):
-            batch_waves = self._split_waves(wave_np, lens)
+
+        def _collect(item):
+            idxs, (tokens_list, do_post), (out, _, inverse) = item
+            mels_b = m._finish_ttmel(
+                np.asarray(out["mel_postnet"]), np.asarray(out["mel_lens"]),
+                np.asarray(out["alignments"]), inverse, tokens_list,
+                do_post, speed)
+            wave, lens = self._dispatch_vocode(mels_b, denoise)
+            batch_waves = self._split_waves(np.asarray(wave), lens)
             for j, i in enumerate(idxs):
                 waves[i] = batch_waves[j]
                 mels[i] = mels_b[j]
+
+        in_flight = []
+        for idxs in batches:
+            prepared = m._prepare_tokens([text_input[i] for i in idxs],
+                                         vowelizer, postprocess_mel)
+            dec = m._dispatch_infer(prepared[0], speaker_id, pad_to=bs)
+            in_flight.append((idxs, prepared, dec))
+            if len(in_flight) > WINDOW:
+                _collect(in_flight.pop(0))
+        for item in in_flight:
+            _collect(item)
         return (waves, mels) if return_mel else waves

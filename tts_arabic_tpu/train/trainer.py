@@ -92,13 +92,17 @@ class Trainer:
         first_artifacts = None
         for b_idx in range(len(val_dataset)):
             batch = collate_fn(val_dataset[b_idx])
+            b = int(next(iter(batch.values())).shape[0])
             meta, artifacts = self._eval_jit(self.state, self._put(batch),
                                              self.rng)
             if first_artifacts is None:
                 first_artifacts = jax.device_get(artifacts)
+            meta = jax.device_get(meta)  # one sync per batch, not per key
             for k, v in meta.items():
-                sums[k] = sums.get(k, 0.0) + float(np.asarray(v))
-            n += 1
+                # weight by batch size: ragged final/truncated batches must
+                # not count like full ones
+                sums[k] = sums.get(k, 0.0) + float(v) * b
+            n += b
         means = {k: v / max(n, 1) for k, v in sums.items()}
         self.logger.log_scalars(step, means, prefix="val/")
         if figures and first_artifacts is not None:
