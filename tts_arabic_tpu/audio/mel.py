@@ -48,6 +48,14 @@ def mel_to_hz(mel):
     return freq
 
 
+def hz_to_mel_htk(freq):
+    return 2595.0 * np.log10(1.0 + np.asanyarray(freq, np.float64) / 700.0)
+
+
+def mel_to_hz_htk(mel):
+    return 700.0 * (10.0 ** (np.asanyarray(mel, np.float64) / 2595.0) - 1.0)
+
+
 def slaney_mel_filterbank(
     sample_rate: int,
     n_fft: int,
@@ -55,17 +63,21 @@ def slaney_mel_filterbank(
     fmin: float = 0.0,
     fmax: float | None = None,
     norm: str | None = "slaney",
+    htk: bool = False,
 ) -> np.ndarray:
     """Triangular mel filterbank, shape [n_mels, n_fft//2 + 1].
 
     Equivalent to librosa.filters.mel(htk=False) which the reference loads at
-    `utils/audio.py:27-30`.
+    `utils/audio.py:27-30`; htk=True gives the torchaudio-default HTK scale
+    (used by Vocos `MelSpectrogramFeatures`, feature_extractors.py:28-64).
     """
     if fmax is None:
         fmax = sample_rate / 2.0
+    to_mel, to_hz = ((hz_to_mel_htk, mel_to_hz_htk) if htk
+                     else (hz_to_mel, mel_to_hz))
     fft_freqs = np.linspace(0.0, sample_rate / 2.0, n_fft // 2 + 1)
-    mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
-    hz_pts = mel_to_hz(mel_pts)
+    mel_pts = np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2)
+    hz_pts = to_hz(mel_pts)
 
     # Differences and ramps vectorized over all bands at once.
     fdiff = np.diff(hz_pts)

@@ -295,7 +295,8 @@ class FastPitch2Wave:
                 self.vocoder_vars = vocos_params_from_torch(
                     sd, cfg["num_layers"])
             else:
-                self.vocoder_vars = self.vocoder.init(
+                # init under jit: complex ISTFT ops fail eagerly on TPU
+                self.vocoder_vars = jax.jit(self.vocoder.init)(
                     jax.random.PRNGKey(seed + 1),
                     jnp.zeros((1, 16, cfg["n_mels"])))
             self.bias_spec = jax.jit(

@@ -19,6 +19,7 @@ directly onto TPU conv/matmul units. Complex values stay inside the jit.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -313,7 +314,9 @@ class MelVocos:
             sd.pop("__extras__", None)
             self.variables = vocos_params_from_torch(sd, cfg["num_layers"])
         else:
-            self.variables = self.module.init(
+            # init under jit: the head's complex ISTFT ops only run
+            # compiled on the TPU backend (eager raises UNIMPLEMENTED)
+            self.variables = jax.jit(self.module.init)(
                 jax.random.PRNGKey(self.seed),
                 jnp.zeros((1, 16, cfg["n_mels"])))
         self.bias_vec = jax.jit(
@@ -333,3 +336,142 @@ class MelVocos:
         mel = jnp.swapaxes(mel, 1, 2)  # feature-last
         return np.asarray(self._fwd(self.variables, mel, self.bias_vec,
                                     jnp.float32(denoise)))
+
+
+# --- generic Vocos (reference `Vocos.from_hparams/from_pretrained`) ----------
+
+@dataclasses.dataclass(frozen=True)
+class MelSpectrogramFeatures:
+    """Vocos mel feature extractor (reference `MelSpectrogramFeatures`,
+    feature_extractors.py:28-64): HTK-scale unnormalized mel (torchaudio
+    defaults), power-1 magnitude, safe_log clip at 1e-7."""
+    sample_rate: int = 24000
+    n_fft: int = 1024
+    hop_length: int = 256
+    n_mels: int = 100
+    padding: str = "center"
+
+    def _compute(self, audio):
+        from ..audio.mel import frame_signal, slaney_mel_filterbank
+        pad = (self.n_fft // 2 if self.padding == "center"
+               else (self.n_fft - self.hop_length) // 2)
+        x = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)],
+                    mode="reflect")
+        window = jnp.asarray(
+            np.hanning(self.n_fft + 1)[:-1].astype(np.float32))
+        frames = frame_signal(x, self.n_fft, self.hop_length) * window
+        mag = jnp.abs(jnp.fft.rfft(frames, n=self.n_fft, axis=-1))
+        basis = jnp.asarray(slaney_mel_filterbank(
+            self.sample_rate, self.n_fft, self.n_mels, norm=None, htk=True))
+        mel = jnp.einsum("mf,...tf->...mt", basis, mag)
+        return jnp.log(jnp.clip(mel, min=1e-7))
+
+    def __call__(self, audio):
+        """audio [..., T] -> log-mel [..., n_mels, frames]. Jitted (cached
+        per extractor config): the TPU backend only supports the complex
+        rfft intermediate under jit, and eager op-by-op dispatch is very
+        slow on remote devices."""
+        return _mel_features_jit(self)(jnp.asarray(audio))
+
+
+@functools.lru_cache(maxsize=8)
+def _mel_features_jit(extractor: "MelSpectrogramFeatures"):
+    return jax.jit(extractor._compute)
+
+
+class _VocosModel(nn.Module):
+    backbone: nn.Module
+    head: nn.Module
+
+    def __call__(self, features):
+        """features [B, T, C] feature-last -> wave [B, T*hop]."""
+        return self.head(self.backbone(features))
+
+
+_VOCOS_CLASSES = {
+    "VocosBackbone": VocosBackbone,
+    "VocosResNetBackbone": VocosResNetBackbone,
+    "ISTFTHead": ISTFTHead,
+    "IMDCTSymExpHead": IMDCTSymExpHead,
+    "IMDCTCosHead": IMDCTCosHead,
+    "MelSpectrogramFeatures": MelSpectrogramFeatures,
+}
+
+
+def _instantiate(spec):
+    name = spec["class_path"].rsplit(".", 1)[-1]
+    if name not in _VOCOS_CLASSES:
+        raise ValueError(f"unsupported Vocos component {spec['class_path']}")
+    return _VOCOS_CLASSES[name](**spec.get("init_args", {}))
+
+
+@dataclasses.dataclass
+class Vocos:
+    """Generic Vocos inference wrapper built from a reference-format hparams
+    yaml (reference `Vocos.from_hparams`/`from_pretrained`,
+    pretrained.py:100-181): feature extractor + backbone + head, dispatched
+    by class name."""
+    feature_extractor: MelSpectrogramFeatures
+    module: _VocosModel
+    variables: dict
+
+    @classmethod
+    def from_hparams(cls, config_path, state_dict_path=None, seed: int = 0):
+        import yaml
+        with open(config_path) as f:
+            config = yaml.safe_load(f)
+        feature_extractor = _instantiate(config["feature_extractor"])
+        backbone_spec = config["backbone"]
+        backbone = _instantiate(backbone_spec)
+        head = _instantiate(config["head"])
+        module = _VocosModel(backbone, head)
+        if state_dict_path is not None:
+            from ..models.torch_import import vocos_params_from_torch
+            from ..runtime.checkpoint import load_torch_state_dict
+            if not isinstance(backbone, VocosBackbone):
+                raise ValueError(
+                    "state-dict import is supported for the ConvNeXt "
+                    "VocosBackbone only")
+            sd = load_torch_state_dict(state_dict_path)
+            sd.pop("__extras__", None)
+            inner = vocos_params_from_torch(
+                sd, backbone_spec.get("init_args", {}).get("num_layers", 8))
+            variables = {"params": inner["params"]}
+        else:
+            n_in = getattr(backbone, "input_channels", 100)
+            # init under jit: complex ISTFT ops fail eagerly on TPU
+            variables = jax.jit(module.init)(jax.random.PRNGKey(seed),
+                                    jnp.zeros((1, 16, n_in)))
+        return cls(feature_extractor, module, variables)
+
+    @classmethod
+    def from_pretrained(cls, repo_id: str, revision=None):
+        """Hugging Face hub loader (network-gated, like the reference's)."""
+        try:
+            from huggingface_hub import hf_hub_download
+        except ImportError as e:
+            raise RuntimeError(
+                "from_pretrained needs huggingface_hub; download "
+                "config.yaml + pytorch_model.bin manually and use "
+                "from_hparams(config, state_dict_path)") from e
+        config_path = hf_hub_download(repo_id, "config.yaml",
+                                      revision=revision)
+        model_path = hf_hub_download(repo_id, "pytorch_model.bin",
+                                     revision=revision)
+        return cls.from_hparams(config_path, model_path)
+
+    def __post_init__(self):
+        # jit: the ISTFT's complex intermediates are only supported inside
+        # a compiled program on the TPU backend (and eager dispatch is slow)
+        self._apply = jax.jit(self.module.apply)
+
+    def decode(self, features):
+        """features [B, C, T] channel-first (reference layout) -> wave."""
+        x = jnp.swapaxes(jnp.asarray(features), -1, -2)
+        return np.asarray(self._apply(self.variables, x))
+
+    def __call__(self, audio):
+        """Copy-synthesis: waveform -> mel features -> waveform
+        (reference `Vocos.forward`, pretrained.py:148-164)."""
+        feats = self.feature_extractor(jnp.asarray(audio))
+        return self.decode(feats)
