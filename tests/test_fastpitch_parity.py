@@ -230,3 +230,33 @@ def test_infer_parity_multispeaker(reference_dir):
     # speaker conditioning actually does something
     assert (mels[0].shape != mels[3].shape
             or np.abs(mels[0] - mels[3]).max() > 1e-3)
+
+
+def test_pitch_transform_hook_matches_reference(ref, ours):
+    """General `pitch_transform` callable (model.py:373-380), with the
+    LJSpeech mean/std fallback when the checkpoint stores no stats."""
+    model, _ = ref
+    fp, variables = ours
+
+    rng = np.random.default_rng(7)
+    tokens = rng.integers(1, 40, size=(1, 11))
+
+    def trf_torch(pitch, lens, mean, std):
+        return pitch * 1.2 + 0.5 * (float(mean) > 0)
+
+    def trf_jax(pitch, lens, mean, std):
+        return pitch * 1.2 + 0.5 * (mean > 0)
+
+    with torch.no_grad():
+        mel_ref, dec_ref, _, pitch_ref, _ = model.infer(
+            torch.from_numpy(tokens).long(), pitch_transform=trf_torch)
+    out = FastPitch(fp.config).apply(
+        variables, jnp.asarray(tokens), max_frames=int(mel_ref.shape[2]),
+        pitch_transform=trf_jax, method=FastPitch.infer)
+    assert int(np.asarray(out["mel_lens"])[0]) == int(dec_ref[0])
+    np.testing.assert_allclose(np.asarray(out["pitch_pred"])[0],
+                               pitch_ref[0].numpy(), rtol=1e-3, atol=1e-4)
+    L = int(dec_ref[0])
+    np.testing.assert_allclose(np.asarray(out["mel"])[0, :L].T,
+                               mel_ref[0].numpy()[:, :L],
+                               rtol=1e-3, atol=2e-3)

@@ -265,13 +265,16 @@ class FastPitch(nn.Module):
     def encode_infer(self, tokens, *, speaker=0, pace: float = 1.0,
                      pitch_mul: float = 1.0, pitch_add: float = 0.0,
                      pitch_tgt=None, energy_tgt=None,
-                     max_duration: float = 75.0):
+                     max_duration: float = 75.0, pitch_transform=None):
         """Text tokens [B, T] -> conditioned encoder state + durations.
 
         Mirrors reference `FastPitch.infer` up to the length regulator
-        (model.py:351-397). The pitch transform hook collapses to the
-        mul/add form the wrapper exposes (`networks.py:38-42`), applied in
-        normalized space against the stored corpus statistics.
+        (model.py:351-397). pitch_mul/pitch_add implement the wrapper's
+        `pitch_trf` closure (`networks.py:38-42`); `pitch_transform` is the
+        general hook (model.py:373-380): a traceable callable
+        `(pitch [B, T, 1], enc_lens [B], mean, std) -> pitch`, given the
+        stored corpus pitch statistics (LJSpeech fallback 218.14/67.24 when
+        absent, model.py:376). Applied before the mul/add.
         """
         spk = self._speaker_vector(tokens.shape[0], speaker)
         enc_out, enc_mask = self.encoder(tokens, conditioning=spk)
@@ -281,6 +284,14 @@ class FastPitch(nn.Module):
         dur_pred = jnp.where(enc_mask, dur_pred, 0.0)
 
         pitch_pred = self.pitch_predictor(enc_out, enc_mask)  # [B, T, 1]
+        if pitch_transform is not None:
+            # stored corpus stats; LJSpeech fallback when the checkpoint
+            # carries none (std == 0), matching model.py:373-377
+            has_stats = self.pitch_std[0] != 0.0
+            mean = jnp.where(has_stats, self.pitch_mean[0], 218.14)
+            std = jnp.where(has_stats, self.pitch_std[0], 67.24)
+            pitch_pred = pitch_transform(
+                pitch_pred, jnp.sum(enc_mask, axis=1), mean, std)
         # the reference's pitch_trf hook scales the *normalized* pitch
         # directly (networks.py:38-42). Applied unconditionally with dynamic
         # scalars (identity at mul=1, add=0) so changing pitch controls never
@@ -330,7 +341,8 @@ class FastPitch(nn.Module):
     def infer(self, tokens, *, speaker=0, pace: float = 1.0,
               max_frames: int = 2048, pitch_mul: float = 1.0,
               pitch_add: float = 0.0, dur_tgt=None, pitch_tgt=None,
-              energy_tgt=None, max_duration: float = 75.0):
+              energy_tgt=None, max_duration: float = 75.0,
+              pitch_transform=None):
         """Full single-jit inference (reference `infer`, model.py:351-409).
 
         Returns dict with mel [B, max_frames, n_mel], mel_lens, dur_pred,
@@ -339,7 +351,7 @@ class FastPitch(nn.Module):
         enc = self.encode_infer(
             tokens, speaker=speaker, pace=pace, pitch_mul=pitch_mul,
             pitch_add=pitch_add, pitch_tgt=pitch_tgt, energy_tgt=energy_tgt,
-            max_duration=max_duration)
+            max_duration=max_duration, pitch_transform=pitch_transform)
         durations = enc["dur_pred"] if dur_tgt is None else dur_tgt
         mel, mel_lens = self.decode(enc["enc_out"], durations, max_frames,
                                     pace)
