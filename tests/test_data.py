@@ -109,3 +109,84 @@ def test_f0_estimator_on_synthetic_tone():
     # silence is unvoiced
     f0 = estimate_f0(np.zeros(sr, np.float32), sr)
     assert (f0 == 0).all()
+
+
+# --- pyin robustness (reference uses librosa.pyin, scripts/extract_f0.py:19;
+# these scenarios are where single-threshold YIN fails and pyin must not) ----
+
+def _vibrato(sr, seconds=2.0, hz=220.0, depth=0.03, rate=5.0, noise=0.0,
+             seed=1):
+    t = np.arange(int(sr * seconds)) / sr
+    f0t = hz * (1 + depth * np.sin(2 * np.pi * rate * t))
+    ph = 2 * np.pi * np.cumsum(f0t) / sr
+    x = np.sin(ph) + 0.5 * np.sin(2 * ph)
+    if noise:
+        x = x + np.random.default_rng(seed).normal(0, noise, len(t))
+    return x.astype(np.float32), f0t
+
+
+def test_pyin_tracks_vibrato():
+    sr = 22050
+    x, f0t = _vibrato(sr)
+    f0 = estimate_f0(x, sr)  # pyin is the default
+    truth = f0t[np.arange(len(f0)) * 256]
+    v = f0 > 0
+    assert v.mean() > 0.95
+    rel = np.abs(f0[v] / truth[v] - 1)
+    assert np.median(rel) < 0.02
+    # the track actually follows the modulation (not a flat median pitch)
+    assert f0[v].max() > 220 * 1.015 and f0[v].min() < 220 / 1.015
+
+
+def test_pyin_voicing_under_noise():
+    """At ~7 dB SNR single-threshold YIN drops most frames; pyin must not."""
+    sr = 22050
+    x, f0t = _vibrato(sr, noise=0.35)
+    truth = f0t[np.arange(1 + len(x) // 256) * 256]
+    f0 = estimate_f0(x, sr, method="pyin")
+    v = f0 > 0
+    assert v.mean() > 0.9
+    assert np.median(np.abs(f0[v] / truth[: len(f0)][v] - 1)) < 0.02
+    # document the failure mode the upgrade fixes
+    f0_yin = estimate_f0(x, sr, method="yin")
+    assert (f0_yin > 0).mean() < 0.6
+
+
+def test_pyin_octave_stability():
+    """Fundamental amplitude sweeps through the octave-ambiguity point:
+    plain YIN flickers between f0 and 2*f0; pyin's Viterbi must hold one
+    consistent track with zero octave hops."""
+    sr = 22050
+    f0_true = sr / 148
+    t = np.arange(sr * 2) / sr
+    amp = 0.25 + 0.2 * np.sin(2 * np.pi * 1.5 * t)
+    x = (amp * np.sin(2 * np.pi * f0_true * t)
+         + 0.9 * np.sin(2 * np.pi * 2 * f0_true * t)).astype(np.float32)
+    f0 = estimate_f0(x, sr, method="pyin")
+    v = f0[f0 > 0]
+    ratio = v / f0_true
+    hops = np.sum(np.abs(np.diff(np.log2(ratio))) > 0.5)
+    assert hops == 0
+    assert (np.abs(ratio - 1) < 0.06).mean() > 0.97
+    f0_yin = estimate_f0(x, sr, method="yin")
+    vy = f0_yin[f0_yin > 0] / f0_true
+    assert np.sum(np.abs(np.diff(np.log2(vy))) > 0.5) >= 2  # yin DOES hop
+
+
+def test_pyin_voicing_f1_composite():
+    """tone | noise | tone | silence: voicing decision F1 >= 0.95."""
+    sr, seg = 22050, 22050 // 2
+    rng = np.random.default_rng(1)
+    tone = np.sin(2 * np.pi * 180 * np.arange(seg) / sr)
+    comp = np.concatenate([tone, rng.normal(0, 0.15, seg), tone,
+                           np.zeros(seg)]).astype(np.float32)
+    f0 = estimate_f0(comp, sr, method="pyin")
+    fr = np.arange(len(f0)) * 256
+    truth = (fr < seg) | ((fr >= 2 * seg) & (fr < 3 * seg))
+    pred = f0 > 0
+    tp = (pred & truth).sum()
+    f1 = 2 * tp / (2 * tp + (pred & ~truth).sum() + (~pred & truth).sum())
+    assert f1 >= 0.95
+    # voiced segments carry the right pitch
+    good = pred & truth
+    assert np.median(np.abs(f0[good] / 180 - 1)) < 0.02

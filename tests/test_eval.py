@@ -1,5 +1,7 @@
 """Eval tests: native C++ DTW vs reference numba kernel (run as python),
 oversmoothing metric parity, MCD sanity."""
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -96,3 +98,78 @@ def test_mcd_properties():
     assert 0 < d1 < d2
     # different lengths align via DTW
     assert np.isfinite(mcd(mel, mel[:, :70]))
+
+
+# --- analytic FLOPs accounting vs XLA's own cost model ----------------------
+
+def _xla_flops(fn, *args):
+    compiled = jax.jit(fn).lower(*args).compile()
+    return compiled.cost_analysis()["flops"]
+
+
+def test_fastpitch_flops_match_xla():
+    """Analytic encode/decode FLOPs within 20% of XLA compiled cost."""
+    from tts_arabic_tpu.eval import flops as F
+    from tts_arabic_tpu.models.fastpitch import FastPitch, FastPitchConfig
+
+    cfg = FastPitchConfig()
+    model = FastPitch(cfg)
+    B, T, frames = 2, 48, 256
+    tokens = jnp.ones((B, T), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), tokens, max_frames=16)
+
+    enc = jax.jit(lambda v, t: model.apply(
+        v, t, method=FastPitch.encode_infer))
+    got = _xla_flops(enc, variables, tokens)
+    want = B * F.fastpitch_encode_flops(cfg, T)
+    assert abs(got - want) / got < 0.20, (got, want)
+
+    enc_out = model.apply(variables, tokens, method=FastPitch.encode_infer)
+    dec = jax.jit(lambda v, e, d: model.apply(
+        v, e, d, frames, method=FastPitch.decode))
+    got = _xla_flops(dec, variables, enc_out["enc_out"], enc_out["dur_pred"])
+    want = B * F.fastpitch_decode_flops(cfg, T, frames)
+    assert abs(got - want) / got < 0.20, (got, want)
+
+
+def test_hifigan_flops_match_xla():
+    from tts_arabic_tpu.eval import flops as F
+    from tts_arabic_tpu.vocoder.hifigan import Generator, HiFiGANConfig
+
+    cfg = HiFiGANConfig()
+    gen = Generator(cfg)
+    mel = jnp.zeros((1, 48, cfg.num_mels))
+    variables = gen.init(jax.random.PRNGKey(0), mel)
+    got = _xla_flops(gen.apply, variables, mel)
+    want = F.hifigan_flops(48, cfg)
+    assert abs(got - want) / got < 0.15, (got, want)
+
+
+def test_vocos_flops_match_xla():
+    from tts_arabic_tpu.eval import flops as F
+    from tts_arabic_tpu.vocoder.vocos import CONFIG_22K, MelVocosModule
+
+    cfg = {k: v for k, v in CONFIG_22K.items() if k != "sample_rate"}
+    voc = MelVocosModule(**cfg)
+    mel = jnp.zeros((1, 32, cfg["n_mels"]))
+    variables = jax.jit(voc.init)(jax.random.PRNGKey(0), mel)
+    bias = jax.jit(
+        lambda v: voc.apply(v, method=MelVocosModule.bias_vector))(variables)
+    got = _xla_flops(lambda v, m: voc.apply(v, m, bias, 0.0), variables, mel)
+    want = F.vocos_flops(32, n_mels=cfg["n_mels"])
+    # ISTFT/window terms are estimated; allow 30%
+    assert abs(got - want) / got < 0.30, (got, want)
+
+
+def test_chip_peak_flops_table():
+    from tts_arabic_tpu.eval.flops import chip_peak_flops
+
+    class FakeDev:
+        device_kind = "TPU v5 lite"
+
+    assert chip_peak_flops(FakeDev()) == 197e12
+
+    class Unknown:
+        device_kind = "Quantum9000"
+
+    assert chip_peak_flops(Unknown()) is None

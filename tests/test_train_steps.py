@@ -177,3 +177,76 @@ def test_checkpoint_roundtrip_train_state(tmp_path):
                     jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
                                rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_fastpitch_dp_full_size_step():
+    """Production config (384-dim, 6+6 FFT; reference net_config,
+    models/fastpitch/__init__.py:3-41) at a real training bucket shape
+    (mel<=1000, configs/nawar_fp_adv.yaml) through the adversarial DP step
+    on the 8-device mesh: one step, finite losses, and identical to the
+    single-device step (VERDICT r1 'full-size DP' gap)."""
+    from tts_arabic_tpu.parallel import (make_mesh, replicate, shard_batch,
+                                         data_parallel_jit)
+
+    cfg = FastPitchConfig()  # the full production config
+    model = FastPitch(cfg)
+    B, T_txt, T_mel = 8, 128, 1000
+    rng = np.random.default_rng(0)
+    batch = {
+        "tokens": rng.integers(1, cfg.n_symbols, (B, T_txt)).astype(np.int32),
+        "token_lens": np.full((B,), T_txt, np.int32),
+        "mel_tgt": rng.standard_normal((B, T_mel, 80)).astype(np.float32),
+        "mel_lens": (T_mel - 16 * (np.arange(B) % 4)).astype(np.int32),
+        "pitch_dense": rng.standard_normal((B, 1, T_mel)).astype(np.float32),
+        "energy_dense": np.abs(rng.standard_normal((B, T_mel))).astype(
+            np.float32),
+        "attn_prior": np.full((B, T_mel, T_txt), 1.0 / T_txt, np.float32),
+    }
+    durs0 = np.full((B, T_txt), T_mel / T_txt, np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(batch["tokens"][:1]),
+        jnp.asarray(batch["token_lens"][:1]),
+        jnp.asarray(batch["mel_tgt"][:1]), jnp.asarray(batch["mel_lens"][:1]),
+        jnp.asarray(batch["pitch_dense"][:1]),
+        jnp.asarray(batch["energy_dense"][:1]),
+        jnp.asarray(batch["attn_prior"][:1]), jnp.asarray(durs0[:1]),
+        deterministic=True, method=FastPitch.forward_train)
+    tx = make_optimizer(1e-4)
+    critic = PatchDiscriminator(32)
+    d = critic.init({"params": jax.random.PRNGKey(1)},
+                    jnp.zeros((1, 128, 80, 1)))
+    tx_d = make_optimizer(1e-4)
+    state = TrainState(
+        params=variables["params"], opt_state=tx.init(variables["params"]),
+        step=jnp.asarray(0), d_params=d["params"],
+        d_opt_state=tx_d.init(d["params"]), d_spectral=d["spectral"])
+    step_fn = make_fastpitch_train_step(model, tx, critic=critic, tx_d=tx_d)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    dp_step = data_parallel_jit(
+        lambda s, b: step_fn(s, b, jax.random.PRNGKey(0)), mesh)
+    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+    state_dp, meta_dp = dp_step(replicate(state, mesh),
+                                shard_batch(batch_j, mesh))
+    for k in ("loss", "mel_loss", "attn_loss", "loss_d", "grad_norm"):
+        assert np.isfinite(float(meta_dp[k])), k
+
+    # single-device step on the same batch: DP must reproduce it (grad mean
+    # over shards == grad over the full batch). At this size fp32
+    # reduction-order noise flips Adam's step-1 sign on coordinates whose
+    # true gradient is ~0 (update magnitude is lr regardless of |grad|), so
+    # byte-identity is ill-conditioned; assert loss + grad-norm equality and
+    # that a SECOND step from each updated state sees the same loss — a
+    # sign-flip on a zero-gradient coordinate has no loss effect, a real DP
+    # bug (wrong psum, wrong mean) does.
+    state_1, meta_1 = jax.jit(step_fn)(state, batch_j, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(meta_dp["loss"]), float(meta_1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(meta_dp["grad_norm"]),
+                               float(meta_1["grad_norm"]), rtol=1e-4)
+    _, meta_dp2 = dp_step(state_dp, shard_batch(batch_j, mesh))
+    _, meta_12 = jax.jit(step_fn)(state_1, batch_j, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(meta_dp2["loss"]),
+                               float(meta_12["loss"]), rtol=1e-4)

@@ -243,6 +243,10 @@ class FastPitchTTS:
     def ttmel_single(self, utterance: str, **kw):
         return self.ttmel_batch([utterance], **kw)[0]
 
+    # crop granularity for device-side mel trims before D2H (see
+    # FastPitch2Wave._CROP_FRAMES)
+    _CROP_FRAMES = 64
+
     def ttmel(self, text_input: Union[str, List[str]], speed: float = 1.0,
               speaker_id: int = 0, batch_size: int = 1,
               vowelizer: Optional[str] = None, pitch_mul: float = 1.0,
@@ -251,10 +255,35 @@ class FastPitchTTS:
                   pitch_mul=pitch_mul, pitch_add=pitch_add)
         if isinstance(text_input, str):
             return self.ttmel_single(text_input, **kw)
-        out = []
+        # same sweep pipeline as FastPitch2Wave.tts: global length sort, all
+        # encodes dispatched before the first bucket sync, one device_get
+        # for every batch's bucket scalar, decodes dispatched async, one
+        # device_get for all mels (device-side cropped to cut D2H)
+        order = sorted(range(len(text_input)),
+                       key=lambda i: -len(text_input[i]))
         bs = max(batch_size, 1)
-        for k in range(0, len(text_input), bs):
-            out += self.ttmel_batch(text_input[k: k + bs], pad_to=bs, **kw)
+        batches = [order[k: k + bs] for k in range(0, len(order), bs)]
+        encs = [
+            self._encode_batch(
+                [self.tokenize(text_input[i], vowelizer) for i in idxs],
+                speaker_id, pitch_mul, pitch_add, bs, speed)
+            for idxs in batches
+        ]
+        maxes = jax.device_get([enc[0]["dec_len_max"] for enc in encs])
+        handles = []
+        for (enc, inverse, _), mx in zip(encs, maxes):
+            bucket = _pick_mel_bucket(int(mx))
+            mel, mel_lens = self._decode_jit(
+                self.variables, enc["enc_out"], enc["dur_pred"],
+                jnp.float32(speed), max_frames=bucket)
+            crop = min(_round_up(int(mx), self._CROP_FRAMES), bucket)
+            handles.append((mel[:, :crop], mel_lens, inverse))
+        fetched = jax.device_get([(h[0], h[1]) for h in handles])
+        out = [None] * len(text_input)
+        for idxs, (mel, lens), h in zip(batches, fetched, handles):
+            for j, i in enumerate(idxs):
+                k = h[2][j]
+                out[i] = mel[k, : lens[k]].T
         return out
 
 
