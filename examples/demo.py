@@ -48,13 +48,19 @@ wave = tts.tts(">als~alAmu Ealaykum yA Sadiyqiy" if not tts.model.arabic_in
                else "اَلسَّلامُ عَلَيكُم", speed=0.9, pitch_mul=1.1,
                pitch_add=0.2)
 
-# %% vowelizer A/B (diacritize unvocalized text before synthesis)
-for vowelizer in ("shakkala", "shakkelha"):
+# %% vowelizer A/B (reference test.ipynb cells 6-9): diacritize unvocalized
+# text with each model, compare the vowelizations, then synthesize from each
+from tts_arabic_tpu.diacritizers import load_vowelizer
+
+unvocalized = "السلام عليكم يا صديقي"
+for name in ("shakkala", "shakkelha"):
     try:
-        w = tts.tts("السلام عليكم يا صديقي", vowelizer=vowelizer)
-        print(vowelizer, "->", len(w) / tts.sample_rate, "s")
+        vowelized = load_vowelizer(name).predict(unvocalized)
+        print(f"{name}: {vowelized}")
+        w = tts.tts(unvocalized, vowelizer=name)
+        print(f"  -> {len(w) / tts.sample_rate:.2f}s audio")
     except FileNotFoundError:
-        print(vowelizer, "weights not downloaded; skipping")
+        print(name, "weights not downloaded; skipping")
 
 # %% batched synthesis (list input)
 numbers = ["صِفر", "واحِد", "إِثنان", "ثَلاثَة", "أَربَعَة", "خَمسَة",
@@ -62,9 +68,20 @@ numbers = ["صِفر", "واحِد", "إِثنان", "ثَلاثَة", "أَرب
 waves = tts.tts(numbers, batch_size=8)
 print("batch:", [round(len(w) / tts.sample_rate, 2) for w in waves])
 
-# %% multispeaker + Vocos backend
-# ms = FastPitch2Wave("pretrained/fastpitch_ar_ms.pth", vocoder_type="vocos")
-# wave = ms.tts("مَرحَباً", speaker_id=2)
+# %% multispeaker + Vocos backend (reference test.ipynb cells 10-13)
+# With the published checkpoint: FastPitch2Wave("pretrained/fastpitch_ar_ms
+# .pth", vocoder_type="vocos"); the cell below runs the same path on a
+# random-init 4-speaker model.
+from tts_arabic_tpu.models.fastpitch import FastPitchConfig
+
+MS_CKPT = None  # e.g. "pretrained/fastpitch_ar_ms.pth"
+ms = FastPitch2Wave(MS_CKPT, vocoder_type="vocos",
+                    config=None if MS_CKPT else FastPitchConfig(n_speakers=4))
+if MS_CKPT is None:
+    _nudge_random_durations(ms.model)
+for speaker_id in range(2):
+    w = ms.tts("مَرحَباً بِكُم", speaker_id=speaker_id, pitch_mul=1.05)
+    print(f"speaker {speaker_id}: {len(w) / ms.sample_rate:.2f}s (vocos)")
 
 # %% Tacotron2 (autoregressive)
 taco = Tacotron2Wave(None)  # or "pretrained/tacotron2_ar_adv.pth"

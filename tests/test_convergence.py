@@ -72,3 +72,103 @@ def test_tacotron_overfits_one_batch():
         last = float(meta["loss"])
     assert np.isfinite(last)
     assert last < 0.6 * first, (first, last)
+
+
+# --- multi-epoch convergence on a synthetic corpus (not one batch) ----------
+# Catches what overfit-one-batch can't: a mis-scaled loss term or schedule
+# bug that still memorizes a single batch but doesn't fit a (tiny) corpus.
+
+def _build_corpus(root, n=6):
+    import wave as wave_mod
+    wav_dir = root / "wavs"
+    wav_dir.mkdir()
+    phons = ["b a m a k a", "t u k a m a n i", "s a l a m u n",
+             "k a t a b a", "m i n h u m", "d a r a s a t i"][:n]
+    rng = np.random.default_rng(0)
+    lines = []
+    for i, phon in enumerate(phons):
+        ns = 11025 + 2048 * i
+        t = np.arange(ns) / 22050.0
+        sig = (0.3 * np.sin(2 * np.pi * (120 + 15 * i) * t)
+               + 0.04 * np.sin(2 * np.pi * (400 + 40 * i) * t)
+               + 0.02 * rng.standard_normal(ns)).astype(np.float32)
+        pcm = (np.clip(sig, -1, 1) * 32767).astype("<i2")
+        with wave_mod.open(str(wav_dir / f"s{i}.wav"), "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(22050)
+            f.writeframes(pcm.tobytes())
+        lines.append(f'"s{i}.wav" "{phon}"')
+    (root / "train.txt").write_text("\n".join(lines) + "\n")
+    return root / "train.txt", wav_dir
+
+
+def _epoch_curve(step, state, batches, n_epochs, key_loss):
+    """Run n_epochs over fixed batches, return per-epoch mean losses."""
+    curve = []
+    i = 0
+    for _ in range(n_epochs):
+        vals = []
+        for b in batches:
+            state, meta = step(state, b, jax.random.PRNGKey(i))
+            vals.append(float(meta[key_loss]))
+            i += 1
+        curve.append(float(np.mean(vals)))
+    return state, np.asarray(curve)
+
+
+def _assert_converging(curve, ratio):
+    assert np.isfinite(curve).all()
+    head = curve[:3].mean()
+    tail = curve[-3:].mean()
+    assert tail < ratio * head, (head, tail, curve)
+    # monotone-ish: few epoch-over-epoch increases, none of them large
+    diffs = np.diff(curve)
+    assert (diffs > 0).mean() < 0.35, curve
+    assert diffs.max() < 0.25 * head, curve
+
+
+def test_fastpitch_multi_epoch_corpus_convergence(tmp_path):
+    from tts_arabic_tpu.data import ArabDatasetFastPitch, collate_fastpitch
+
+    txt, wavs = _build_corpus(tmp_path)
+    ds = ArabDatasetFastPitch(txt, wavs, cache=True)
+    items = [ds[i] for i in range(len(ds))]
+    batches = [
+        {k: jnp.asarray(v)
+         for k, v in collate_fastpitch(items[k: k + 2]).items()}
+        for k in range(0, len(items), 2)
+    ]
+    model, _, _, _, state0, _ = _init_fp_state(adv=False)
+    tx = make_optimizer(2e-3)
+    state = TrainState(params=state0.params, opt_state=tx.init(state0.params),
+                       step=jnp.asarray(0))
+    step = jax.jit(make_fastpitch_train_step(model, tx, None, None))
+    _, curve = _epoch_curve(step, state, batches, 25, "mel_loss")
+    _assert_converging(curve, ratio=0.6)
+
+
+def test_tacotron_multi_epoch_corpus_convergence(tmp_path):
+    from tts_arabic_tpu.data import ArabDataset, collate_tacotron
+
+    txt, wavs = _build_corpus(tmp_path)
+    ds = ArabDataset(txt, wavs, cache=True)
+    items = [ds[i] for i in range(len(ds))]
+    batches = [
+        {k: jnp.asarray(v)
+         for k, v in collate_tacotron(items[k: k + 2]).items()}
+        for k in range(0, len(items), 2)
+    ]
+    model = Tacotron2(T2_CFG)
+    b0 = batches[0]
+    variables = model.init(jax.random.PRNGKey(0), b0["tokens"],
+                           b0["token_lens"], b0["mel_tgt"], b0["mel_lens"],
+                           train=False)
+    tx = make_optimizer(2e-3)
+    state = TrainState(params=variables["params"],
+                       opt_state=tx.init(variables["params"]),
+                       step=jnp.asarray(0),
+                       extra=variables.get("batch_stats"))
+    step = jax.jit(make_tacotron_train_step(model, tx, None, None))
+    _, curve = _epoch_curve(step, state, batches, 25, "loss")
+    _assert_converging(curve, ratio=0.7)

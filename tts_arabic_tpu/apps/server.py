@@ -97,6 +97,22 @@ class TTSManager:
         from ..infer import Tacotron2Wave
         return Tacotron2Wave(**kwargs)
 
+    def warmup(self) -> float:
+        """Precompile the serving signatures so no request pays
+        first-compile latency (~20-40s/signature on TPU): the FastPitch
+        pipelines' bucket grid via their `warmup()`, plus one end-to-end
+        request through every registry model (covers Tacotron2's decode and
+        vocoder signatures). Returns the wall seconds spent."""
+        import time
+
+        t0 = time.perf_counter()
+        for _, model in self.models:
+            if hasattr(model, "warmup"):
+                model.warmup(batch_sizes=(1,), text_buckets=(16, 32),
+                             mel_buckets=(128, 256, 512))
+        self.tts("m a r H a b a n b i k u m")
+        return time.perf_counter() - t0
+
     def tts(self, buckw: str, rate: float = 1.0, denoise: float = 0.005):
         _STATIC.mkdir(parents=True, exist_ok=True)
         outputs = []
@@ -172,11 +188,18 @@ def main(argv=None):
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--models", default="app_models.yaml",
                         help="YAML registry of models to serve")
+    parser.add_argument("--no-warmup", action="store_true",
+                        help="skip startup precompilation (first request "
+                             "then pays jit compile latency)")
     args = parser.parse_args(argv)
 
     from ..runtime.cache import enable_compilation_cache
     enable_compilation_cache()
     manager = TTSManager(load_registry(args.models))
+    if not args.no_warmup:
+        print("warming up (compiling serving signatures)...")
+        dt = manager.warmup()
+        print(f"warmup finished in {dt:.1f}s — requests are served hot")
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(manager))
     print(f"serving on http://{args.host}:{args.port}")

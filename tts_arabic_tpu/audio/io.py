@@ -44,7 +44,7 @@ def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
 
 
 def peak_normalize(x: np.ndarray, headroom: float = 0.999) -> np.ndarray:
-    peak = np.abs(x).max()
+    peak = np.abs(x).max() if x.size else 0.0
     if peak == 0:
         return x
     return (x / peak * headroom).astype(np.float32)
