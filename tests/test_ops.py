@@ -36,3 +36,44 @@ def test_mas_fused_dispatches_off_tpu():
     ref = np.asarray(mas(jnp.asarray(attn), jnp.asarray(in_lens),
                          jnp.asarray(out_lens)))
     np.testing.assert_array_equal(out, ref)
+
+
+# ---- HiFi-GAN pallas resblock / generator ------------------------------
+
+from tts_arabic_tpu.ops.hifigan_pallas import (generator_apply_pallas,
+                                               resblock_pallas)
+from tts_arabic_tpu.vocoder.hifigan import Generator, HiFiGANConfig, ResBlock1
+
+
+@pytest.mark.parametrize("C,k,dil,t_tile", [
+    (32, 11, (1, 3, 5), 128),    # worst halo; multi-tile
+    (64, 7, (1, 3, 5), 128),
+    (128, 3, (1, 3, 5), 64),
+    (32, 11, (1, 3, 5), 512),    # single tile, T < t_tile
+])
+def test_resblock_pallas_matches_flax(C, k, dil, t_tile):
+    rng = jax.random.PRNGKey(0)
+    rb = ResBlock1(C, k, dil)
+    x = jax.random.normal(rng, (2, 300, C), jnp.float32)
+    v = rb.init(rng, x)
+    ref = np.asarray(rb.apply(v, x))
+    got = np.asarray(resblock_pallas(x, v["params"], k, dil,
+                                     t_tile=t_tile, interpret=True))
+    # tolerance: f32 reassociation noise amplified by the 6-conv residual
+    # chain + leaky-relu kinks (single conv agrees to ~4e-7)
+    np.testing.assert_allclose(got, ref, atol=5e-3, rtol=0)
+    assert float(np.abs(got - ref).mean()) < 1e-4
+
+
+def test_generator_apply_pallas_matches_flax():
+    cfg = HiFiGANConfig()
+    gen = Generator(cfg)
+    rng = jax.random.PRNGKey(1)
+    mel = jax.random.normal(rng, (2, 23, 80), jnp.float32) - 5.0
+    v = gen.init(rng, mel)
+    ref = np.asarray(gen.apply(v, mel))
+    got = np.asarray(generator_apply_pallas(v, mel, cfg, interpret=True))
+    assert got.shape == ref.shape
+    snr = 10 * np.log10(np.mean(ref ** 2) /
+                        (np.mean((ref - got) ** 2) + 1e-20))
+    assert snr > 60.0, snr

@@ -1,0 +1,238 @@
+"""Pallas TPU kernels for the HiFi-GAN MRF hot path.
+
+Why this exists (profile-driven, see docs/PERF.md): the generator's last
+two stages run at 64 and 32 channels over hundreds of thousands of time
+steps. XLA lays those tensors out with channels in the 128-wide lane
+dimension, so every conv and elementwise op uses 32/128 or 64/128 lanes —
+the trace shows the k=7, 32-channel MRF convs sustaining ~3 TFLOP/s
+(~1.5% of peak) and a long tail of leaky-relu/residual-add fusions
+streaming [B, T, 32] activations through HBM between every op.
+
+The kernel here runs ONE ResBlock (reference `vocoder/hifigan/models.py:
+22-59`: three [leaky -> dilated conv -> leaky -> conv -> add] pairs) for a
+time tile entirely in VMEM:
+
+- each conv is unfolded over its k taps into a single matmul
+  [T_tile, k*C] @ [k*C, C], moving the kernel taps into the MXU's
+  contraction dimension (full 128 contraction lanes instead of C/128);
+- all six convs, activations and residual adds happen on the VMEM tile —
+  zero HBM round-trips between ops;
+- halo handling is overlap-discard: tiles are fetched with an H-row halo
+  (H >= the ResBlock's receptive field), shifts are cheap roll-by-concat
+  whose wrap garbage stays inside the discarded halo, and the global
+  sequence edge is exact because the input is zero-padded by H which is
+  precisely the conv's own SAME padding.
+
+`generator_apply_pallas` composes these kernels with plain-XLA upsamples
+into a drop-in replacement for `Generator.apply` (same variables pytree,
+same output to bf16 tolerance) used by the inference pipelines on TPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..vocoder.hifigan import (HiFiGANConfig, LRELU_SLOPE, conv_transpose_1d)
+
+
+def _receptive_halo(kernel_size: int, dilations: Sequence[int]) -> int:
+    """One-sided receptive field of a ResBlock1: each (dilated k, plain k)
+    conv pair consumes (k-1)/2*(d+1) context rows."""
+    r = (kernel_size - 1) // 2
+    return int(sum(r * (d + 1) for d in dilations))
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _leaky(x: jnp.ndarray, slope: float) -> jnp.ndarray:
+    """leaky_relu as max(x, slope*x) (slope < 1): Mosaic lacks bf16 cmpf,
+    and max is one VPU op instead of compare+select."""
+    return jnp.maximum(x, x * slope)
+
+
+def _shift0(a: jnp.ndarray, s: int) -> jnp.ndarray:
+    """a[t] -> a[t+s] along axis 0 (circular; wrap lands in halo rows)."""
+    s = s % a.shape[0]
+    if s == 0:
+        return a
+    return jnp.concatenate([a[s:], a[:s]], axis=0)
+
+
+def _unfold_matmul(y, w_flat, bias, k: int, dilation: int):
+    """Conv over axis 0 as one MXU contraction.
+
+    y: [W, C]; w_flat: [k*C, C] (tap-major, flax [k, C_in, C_out] reshaped);
+    returns [W, C] with the conv's SAME alignment; rows closer than
+    (k-1)/2*dilation to either end contain wrap garbage (discarded halo).
+    """
+    ctr = (k - 1) // 2
+    u = jnp.concatenate([_shift0(y, (j - ctr) * dilation) for j in range(k)],
+                        axis=1)
+    z = jax.lax.dot_general(
+        u, w_flat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return (z + bias.astype(jnp.float32)).astype(y.dtype)
+
+
+def _resblock_kernel(left_ref, center_ref, right_ref, w1_ref, b1_ref,
+                     w2_ref, b2_ref, out_ref, *, t_tile: int, halo: int,
+                     k: int, dilations: Sequence[int], t_total: int):
+    i = pl.program_id(1)
+    wt = t_tile + 2 * halo
+    h = jnp.concatenate([left_ref[0], center_ref[0], right_ref[0]], axis=0)
+    # SAME convs zero-pad EACH conv's input beyond the sequence edge; rows
+    # outside [0, t_total) hold bias/residual junk after the first matmul,
+    # so every conv input is masked back to zero there
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (wt, 1), 0)
+           + (i * t_tile - halo))
+    mask = ((pos >= 0) & (pos < t_total)).astype(h.dtype)
+    for di in range(len(dilations)):
+        y = _leaky(h, LRELU_SLOPE) * mask
+        z = _unfold_matmul(y, w1_ref[di], b1_ref[di], k, dilations[di])
+        z = _leaky(z, LRELU_SLOPE) * mask
+        h = h + _unfold_matmul(z, w2_ref[di], b2_ref[di], k, 1)
+    out_ref[:] = h[halo: halo + t_tile, :][None]
+
+
+def resblock_pallas(x: jnp.ndarray, params, kernel_size: int,
+                    dilations: Sequence[int], *, t_tile: int | None = None,
+                    interpret: bool = False) -> jnp.ndarray:
+    """ResBlock1 forward on TPU: x [B, T, C] -> [B, T, C].
+
+    params: the flax ResBlock1 param dict ({"conv1_i": {kernel, bias},
+    "conv2_i": {...}}); matches `vocoder.hifigan.ResBlock1` output to
+    accumulation tolerance (f32 MXU accumulation either way).
+
+    The halo'd window is assembled from three Blocked in_specs over one
+    zero-extended array (center tile + H-row neighbors); Mosaic's pipeline
+    emitter double-buffers all three, so HBM fetch overlaps compute.
+    """
+    B, T, C = x.shape
+    k = kernel_size
+    # halo: >= the resblock's receptive field, power-of-two-times-16 so it
+    # divides the tile (the halo specs index in halo-size block units)
+    creep = _receptive_halo(k, dilations)
+    halo = 16
+    while halo < creep:
+        halo *= 2
+    if t_tile is None:
+        t_tile = 2048 if C <= 64 else 1024
+    assert t_tile % halo == 0, (t_tile, halo)
+    n_tiles = max(1, -(-T // t_tile))
+    tp = n_tiles * t_tile
+
+    # zero padding = the convs' own SAME padding at sequence edges; a full
+    # t_tile of lead pad keeps every spec's element offset a multiple of
+    # its own block size, so one array serves center and both halos
+    x_big = jnp.pad(x, ((0, 0), (t_tile, t_tile + (tp - T)), (0, 0)))
+    r = t_tile // halo
+
+    def flat(name_fmt):
+        ws, bs = [], []
+        for di in range(len(dilations)):
+            p = params[name_fmt.format(di)]
+            ws.append(p["kernel"].reshape(k * C, C))
+            bs.append(p["bias"])
+        return (jnp.stack(ws).astype(x.dtype),
+                jnp.stack(bs).astype(jnp.float32))
+
+    w1, b1 = flat("conv1_{}")
+    w2, b2 = flat("conv2_{}")
+
+    kernel = functools.partial(_resblock_kernel, t_tile=t_tile, halo=halo,
+                               k=k, dilations=tuple(dilations), t_total=T)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, halo, C),
+                         lambda b, i: (b, (i + 1) * r - 1, 0),
+                         memory_space=pltpu.VMEM),       # left halo
+            pl.BlockSpec((1, t_tile, C), lambda b, i: (b, i + 1, 0),
+                         memory_space=pltpu.VMEM),       # center
+            pl.BlockSpec((1, halo, C),
+                         lambda b, i: (b, (i + 2) * r, 0),
+                         memory_space=pltpu.VMEM),       # right halo
+            vmem,   # w1 [n_d, k*C, C]
+            vmem,   # b1 [n_d, C]
+            vmem,   # w2
+            vmem,   # b2
+        ],
+        out_specs=pl.BlockSpec((1, t_tile, C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, tp, C), x.dtype),
+        interpret=interpret,
+    )(x_big, x_big, x_big, w1, b1, w2, b2)
+    return out[:, :T, :]
+
+
+def _conv1d_same(x, kernel, bias, dilation: int = 1):
+    """nn.Conv-equivalent SAME conv, feature-last."""
+    k = kernel.shape[0]
+    pad = (k - 1) * dilation // 2
+    y = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1,), padding=[(pad, pad)],
+        rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"))
+    return y + bias
+
+
+def _resblock_xla(x, params, kernel_size: int, dilations: Sequence[int]):
+    """Functional twin of `vocoder.hifigan.ResBlock1` (for C > VMEM budget)."""
+    for di, d in enumerate(dilations):
+        p1, p2 = params[f"conv1_{di}"], params[f"conv2_{di}"]
+        y = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        y = _conv1d_same(y, p1["kernel"].astype(x.dtype),
+                         p1["bias"].astype(x.dtype), d)
+        y = jax.nn.leaky_relu(y, LRELU_SLOPE)
+        y = _conv1d_same(y, p2["kernel"].astype(x.dtype),
+                         p2["bias"].astype(x.dtype))
+        x = x + y
+    return x
+
+
+def generator_apply_pallas(variables, mel: jnp.ndarray,
+                           config: HiFiGANConfig = HiFiGANConfig(), *,
+                           mrf_pallas_max_channels: int = 128,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for `Generator.apply` (ResBlock1 configs): mel [B, T, 80] ->
+    wave [B, T*hop], reading the exact same variables pytree, with the MRF
+    stages at <= `mrf_pallas_max_channels` channels running as Pallas
+    kernels (the profiled XLA lane-starvation region) and everything else
+    as plain XLA.
+    """
+    assert config.resblock == "1", "pallas path covers ResBlock1 checkpoints"
+    p = variables["params"]
+    dt = mel.dtype
+    cast = lambda q: q.astype(dt)
+    x = _conv1d_same(mel, cast(p["conv_pre"]["kernel"]),
+                     cast(p["conv_pre"]["bias"]))
+    for i, (u, k) in enumerate(zip(config.upsample_rates,
+                                   config.upsample_kernel_sizes)):
+        ch = config.upsample_initial_channel // (2 ** (i + 1))
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        up = p[f"up_{i}"]
+        x = conv_transpose_1d(x, cast(up["kernel"]), cast(up["bias"]),
+                              u, (k - u) // 2)
+        acc = None
+        for j, (rk, rd) in enumerate(zip(config.resblock_kernel_sizes,
+                                         config.resblock_dilation_sizes)):
+            rp = p[f"res_{i}_{j}"]
+            if ch <= mrf_pallas_max_channels:
+                y = resblock_pallas(x, rp, rk, rd, interpret=interpret)
+            else:
+                y = _resblock_xla(x, rp, rk, rd)
+            acc = y if acc is None else acc + y
+        x = acc / len(config.resblock_kernel_sizes)
+    x = jax.nn.leaky_relu(x, 0.01)
+    x = _conv1d_same(x, cast(p["conv_post"]["kernel"]),
+                     cast(p["conv_post"]["bias"]))
+    return jnp.tanh(x).squeeze(-1)
