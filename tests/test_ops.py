@@ -41,7 +41,8 @@ def test_mas_fused_dispatches_off_tpu():
 # ---- HiFi-GAN pallas resblock / generator ------------------------------
 
 from tts_arabic_tpu.ops.hifigan_pallas import (generator_apply_pallas,
-                                               resblock_pallas)
+                                               resblock_pallas,
+                                               resblock_pallas_packed)
 from tts_arabic_tpu.vocoder.hifigan import Generator, HiFiGANConfig, ResBlock1
 
 
@@ -65,6 +66,25 @@ def test_resblock_pallas_matches_flax(C, k, dil, t_tile):
     assert float(np.abs(got - ref).mean()) < 1e-4
 
 
+@pytest.mark.parametrize("C,k,dil,T", [
+    (32, 11, (1, 3, 5), 300),    # P=4, worst halo, T not tile-aligned
+    (32, 3, (1, 3, 5), 4096),    # exactly one tile
+    (64, 7, (1, 3, 5), 2500),    # P=2, multi-tile
+    (64, 11, (1, 3, 5), 130),    # tiny T << t_tile
+])
+def test_resblock_pallas_packed_matches_flax(C, k, dil, T):
+    rng = jax.random.PRNGKey(2)
+    rb = ResBlock1(C, k, dil)
+    x = jax.random.normal(rng, (2, T, C), jnp.float32)
+    v = rb.init(rng, x)
+    ref = np.asarray(rb.apply(v, x))
+    got = np.asarray(resblock_pallas_packed(x, v["params"], k, dil,
+                                            interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=5e-3, rtol=0)
+    assert float(np.abs(got - ref).mean()) < 1e-4
+
+
 def test_generator_apply_pallas_matches_flax():
     cfg = HiFiGANConfig()
     gen = Generator(cfg)
@@ -77,3 +97,29 @@ def test_generator_apply_pallas_matches_flax():
     snr = 10 * np.log10(np.mean(ref ** 2) /
                         (np.mean((ref - got) ** 2) + 1e-20))
     assert snr > 60.0, snr
+
+
+# ---- chunked_vocode path equivalence ------------------------------------
+
+from tts_arabic_tpu.vocoder.hifigan import chunked_vocode
+
+
+def test_chunked_vocode_paths_agree():
+    """Direct, batch-split, and time-chunk paths of chunked_vocode must
+    produce the same waveform (tiny direct_limit forces each path)."""
+    cfg = HiFiGANConfig()
+    gen = Generator(cfg)
+    rng = jax.random.PRNGKey(3)
+    B, F = 3, 40
+    mel = jax.random.normal(rng, (B, F, cfg.num_mels), jnp.float32) - 5.0
+    v = gen.init(rng, mel)
+
+    direct = np.asarray(chunked_vocode(gen.apply, v, mel))
+    # B*F=120 > 50, F=40 <= 50: batch-split path, group=1 (uneven pad)
+    bsplit = np.asarray(chunked_vocode(gen.apply, v, mel, direct_limit=50))
+    # F=40 > direct_limit=8 and > window: time-chunk overlap-discard path
+    tchunk = np.asarray(chunked_vocode(gen.apply, v, mel, core=16,
+                                       overlap=16, slab=4, direct_limit=8))
+    assert direct.shape == bsplit.shape == tchunk.shape == (B, F * 256)
+    np.testing.assert_allclose(bsplit, direct, atol=2e-6, rtol=0)
+    np.testing.assert_allclose(tchunk, direct, atol=2e-6, rtol=0)

@@ -295,7 +295,7 @@ class FastPitch2Wave:
                  vocoder_config=None, vowelizer: Optional[str] = None,
                  arabic_in: bool = True, config=None, seed: int = 0,
                  compute_dtype=None, vocoder_type: str = "hifigan",
-                 mesh=None):
+                 mesh=None, mrf_strategy: str = "xla"):
         """compute_dtype: jnp.bfloat16 runs the decoder+vocoder hot path on
         the MXU's native bf16 (~2x on TPU); weights stay fp32 in memory and
         are cast at trace time; the spectral denoiser stays fp32. None =
@@ -304,7 +304,15 @@ class FastPitch2Wave:
         vocoder_type: "hifigan" (default) or "vocos" — the reference only
         exposes Vocos as a standalone backend (`vocoder/vocos/pretrained.py`);
         here it is wired directly into the tts() pipeline (BASELINE.md
-        config 4)."""
+        config 4).
+
+        mrf_strategy: HiFi-GAN MRF ResBlock implementation on TPU — "xla"
+        (default: plain flax apply; the measured-best end-to-end, see
+        docs/PERF.md), "auto" (packed-lane Pallas kernel at 32 channels —
+        wins its stage in isolation but is e2e-neutral and costs ~6x
+        warmup in Mosaic compiles), or "unfold"/"packed" to force one
+        kernel everywhere it applies (off-TPU or for non-ResBlock1
+        checkpoints the plain flax apply is always used)."""
         self.compute_dtype = compute_dtype
         self.vocoder_type = vocoder_type
         self.model = FastPitchTTS(model_sd_path, config=config,
@@ -353,6 +361,15 @@ class FastPitch2Wave:
                 lambda v: denoiser_mod.compute_bias_spec(self.vocoder.apply,
                                                          v)
             )(self.vocoder_vars)
+        self._voc_apply = self.vocoder.apply
+        if (vocoder_type == "hifigan" and mrf_strategy != "xla"
+                and self.vocoder_config.resblock == "1"
+                and jax.devices()[0].platform == "tpu"):
+            from ..ops.hifigan_pallas import generator_apply_pallas
+            cfg = self.vocoder_config
+            self._voc_apply = (
+                lambda v, m: generator_apply_pallas(
+                    v, m, cfg, strategy=mrf_strategy))
         if mesh is not None:
             from ..parallel import replicate
             self.vocoder_vars = replicate(self.vocoder_vars, mesh)
@@ -394,7 +411,7 @@ class FastPitch2Wave:
                                   pad_value=LOG_MEL_PAD)
             wave = wave.astype(jnp.float32)
         else:
-            wave = chunked_vocode(self.vocoder.apply, voc_vars, mel,
+            wave = chunked_vocode(self._voc_apply, voc_vars, mel,
                                   pad_value=LOG_MEL_PAD)
             wave = wave.astype(jnp.float32)
             if use_denoiser:
@@ -538,7 +555,8 @@ class FastPitch2Wave:
             wave = self.vocoder.apply(voc_vars, piece,
                                       bias_spec.astype(piece.dtype), strength)
         else:
-            wave = self.vocoder.apply(voc_vars, piece)
+            # same apply as tts() so streamed chunks match batch output
+            wave = self._voc_apply(voc_vars, piece)
             if use_denoiser:
                 wave = denoiser_mod.denoise(wave.astype(jnp.float32),
                                             bias_spec, denoise_strength)

@@ -201,13 +201,18 @@ def _resblock_xla(x, params, kernel_size: int, dilations: Sequence[int]):
 
 def generator_apply_pallas(variables, mel: jnp.ndarray,
                            config: HiFiGANConfig = HiFiGANConfig(), *,
-                           mrf_pallas_max_channels: int = 128,
+                           strategy: str = "auto",
                            interpret: bool = False) -> jnp.ndarray:
     """Drop-in for `Generator.apply` (ResBlock1 configs): mel [B, T, 80] ->
-    wave [B, T*hop], reading the exact same variables pytree, with the MRF
-    stages at <= `mrf_pallas_max_channels` channels running as Pallas
-    kernels (the profiled XLA lane-starvation region) and everything else
-    as plain XLA.
+    wave [B, T*hop], reading the exact same variables pytree.
+
+    strategy selects the MRF ResBlock implementation per stage:
+      - "auto" (default): the measured-fastest mix on v5e — the packed-lane
+        Pallas kernel at C=32 (29.2 vs XLA's 24.7 TF/s chained) and plain
+        XLA at C >= 64, where XLA's own fusion wins (93.4 vs 70-80 TF/s);
+        see docs/PERF.md and tools/bench_resblock.py
+      - "xla" | "unfold" | "packed": force one implementation everywhere
+        it applies (benchmark/debug; packed needs 128 % C == 0, C < 128)
     """
     assert config.resblock == "1", "pallas path covers ResBlock1 checkpoints"
     p = variables["params"]
@@ -226,7 +231,12 @@ def generator_apply_pallas(variables, mel: jnp.ndarray,
         for j, (rk, rd) in enumerate(zip(config.resblock_kernel_sizes,
                                          config.resblock_dilation_sizes)):
             rp = p[f"res_{i}_{j}"]
-            if ch <= mrf_pallas_max_channels:
+            packed_ok = 128 % ch == 0 and ch < 128
+            if strategy == "packed" and packed_ok or (
+                    strategy == "auto" and ch <= 32 and packed_ok):
+                y = resblock_pallas_packed(x, rp, rk, rd,
+                                           interpret=interpret)
+            elif strategy == "unfold":
                 y = resblock_pallas(x, rp, rk, rd, interpret=interpret)
             else:
                 y = _resblock_xla(x, rp, rk, rd)
@@ -236,3 +246,148 @@ def generator_apply_pallas(variables, mel: jnp.ndarray,
     x = _conv1d_same(x, cast(p["conv_post"]["kernel"]),
                      cast(p["conv_post"]["bias"]))
     return jnp.tanh(x).squeeze(-1)
+
+
+# ---- packed-lane variant (C < 128) -------------------------------------
+#
+# The unfold kernel above ties XLA because building [T, k*C] via lane
+# concatenation of C-wide pieces costs as much as the matmuls it feeds
+# (measured; see docs/PERF.md). This variant removes misaligned lane ops:
+# P = 128//C consecutive time steps are packed into the 128-lane dimension
+# at the XLA level ([B, T, C] -> [B, T/P, P*C], a free reshape outside the
+# kernel), and each conv tap with unpacked offset o = q*P + s becomes
+#   row-shift by q (sublane concat, cheap)
+#   + ONE shared lane rotation per distinct s (<= P per conv)
+#   + a [Wp, 128] @ [128, 128] matmul with block-diagonal weights.
+# Every elementwise op (leaky-relu, mask, residual) runs on fully occupied
+# 128-lane rows. The 4x zero-block FLOP overhead buys 16x lane occupancy.
+
+
+def _lane_rot(a: jnp.ndarray, m: int, interpret: bool) -> jnp.ndarray:
+    """Rotate lanes left by m: out[:, l] = a[:, (l+m) % L]."""
+    L = a.shape[-1]
+    m = m % L
+    if m == 0:
+        return a
+    if interpret:
+        return jnp.concatenate([a[:, m:], a[:, :m]], axis=1)
+    if a.dtype == jnp.bfloat16:
+        # pltpu.roll on bf16 crashes the Mosaic compiler (observed on
+        # v5e / jax 0.9); rotate in f32 and cast back
+        return pltpu.roll(a.astype(jnp.float32), shift=L - m,
+                          axis=1).astype(a.dtype)
+    return pltpu.roll(a, shift=L - m, axis=1)
+
+
+def _packed_kernel(left_ref, center_ref, right_ref, w1_ref, b1_ref,
+                   w2_ref, b2_ref, out_ref, *, tp_tile: int, halo_p: int,
+                   k: int, dilations: Sequence[int], P: int, C: int,
+                   t_total: int, interpret: bool):
+    i = pl.program_id(1)
+    wp = tp_tile + 2 * halo_p
+    h = jnp.concatenate([left_ref[0], center_ref[0], right_ref[0]], axis=0)
+    ctr = (k - 1) // 2
+    # packed mask: element (row r, lane l) is unpacked position
+    # P*(i*tp_tile + r - halo_p) + l//C
+    rows = jax.lax.broadcasted_iota(jnp.int32, (wp, P * C), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (wp, P * C), 1)
+    pos = P * (rows + (i * tp_tile - halo_p)) + lanes // C
+    mask = ((pos >= 0) & (pos < t_total)).astype(h.dtype)
+
+    def conv(y, w_ref_d, b_row, dilation):
+        # group taps by lane phase s so each rotation happens once
+        by_s = {}
+        for j in range(k):
+            q, s = divmod((j - ctr) * dilation, P)
+            by_s.setdefault(s, []).append((j, q))
+        acc = jnp.zeros((wp, P * C), jnp.float32)
+        for s, taps in by_s.items():
+            r_s = _lane_rot(y, s * C, interpret)
+            r_s1 = None
+            if s != 0:
+                # rows p >= P-s wrap to the next packed row
+                r_s1 = _shift0(r_s, 1)
+                sel = lanes < (P - s) * C
+            for j, q in taps:
+                u = _shift0(r_s, q)
+                if s != 0:
+                    u = jnp.where(sel, u, _shift0(r_s1, q))
+                acc = acc + jax.lax.dot_general(
+                    u, w_ref_d[j], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        return (acc + b_row).astype(y.dtype)
+
+    for di in range(len(dilations)):
+        y = _leaky(h, LRELU_SLOPE) * mask
+        z = conv(y, w1_ref[di], b1_ref[di], dilations[di])
+        z = _leaky(z, LRELU_SLOPE) * mask
+        h = h + conv(z, w2_ref[di], b2_ref[di], 1)
+    out_ref[:] = h[halo_p: halo_p + tp_tile, :][None]
+
+
+def resblock_pallas_packed(x: jnp.ndarray, params, kernel_size: int,
+                           dilations: Sequence[int], *,
+                           t_tile: int | None = None,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Packed-lane ResBlock1: x [B, T, C] -> [B, T, C], C in {32, 64}."""
+    B, T, C = x.shape
+    assert 128 % C == 0 and C < 128, C
+    P = 128 // C
+    k = kernel_size
+    creep = _receptive_halo(k, dilations)
+    # halo/P is a block sublane count: keep it >= the 16-row min tile
+    halo = 16 * P
+    while halo < creep or halo % P:
+        halo *= 2
+    if t_tile is None:
+        t_tile = 4096 if C <= 32 else 2048
+    assert t_tile % halo == 0 and t_tile % P == 0, (t_tile, halo, P)
+    n_tiles = max(1, -(-T // t_tile))
+    tp = n_tiles * t_tile
+
+    x_big = jnp.pad(x, ((0, 0), (t_tile, t_tile + (tp - T)), (0, 0)))
+    xp = x_big.reshape(B, -1, P * C)         # pack: free at the XLA level
+    tp_tile, halo_p = t_tile // P, halo // P
+    r = tp_tile // halo_p
+
+    def flat(name_fmt):
+        ws, bs = [], []
+        eye_blocks = np.kron(np.eye(P, dtype=np.float32), np.ones((1, 1)))
+        for di in range(len(dilations)):
+            p = params[name_fmt.format(di)]
+            kern = p["kernel"]                       # [k, C, C]
+            blocks = jnp.einsum("pq,kio->kpiqo", jnp.asarray(eye_blocks),
+                                kern).reshape(k, P * C, P * C)
+            ws.append(blocks)
+            bs.append(jnp.tile(p["bias"], P))
+        return (jnp.stack(ws).astype(x.dtype),          # [n_d, k, PC, PC]
+                jnp.stack(bs).astype(jnp.float32))       # [n_d, PC]
+
+    w1, b1 = flat("conv1_{}")
+    w2, b2 = flat("conv2_{}")
+
+    kernel = functools.partial(_packed_kernel, tp_tile=tp_tile,
+                               halo_p=halo_p, k=k,
+                               dilations=tuple(dilations), P=P, C=C,
+                               t_total=T, interpret=interpret)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, halo_p, P * C),
+                         lambda b, i: (b, (i + 1) * r - 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp_tile, P * C), lambda b, i: (b, i + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, halo_p, P * C),
+                         lambda b, i: (b, (i + 2) * r, 0),
+                         memory_space=pltpu.VMEM),
+            vmem, vmem, vmem, vmem,
+        ],
+        out_specs=pl.BlockSpec((1, tp_tile, P * C), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, tp // P, P * C), x.dtype),
+        interpret=interpret,
+    )(xp, xp, xp, w1, b1, w2, b2)
+    return out.reshape(B, tp, C)[:, :T, :]

@@ -191,6 +191,25 @@ def chunked_vocode(apply_fn, variables, mel, *, core: int = 480,
     if F <= window or B * F <= direct_limit:
         return apply_fn(variables, mel)
 
+    # batch-axis split: when single samples fit the HBM budget, vocode the
+    # batch in statically-unrolled groups — identical work to the fused
+    # call (zero overlap recompute, zero chunk padding), unlike time
+    # chunking (measured 506 ms vs 1778 ms wall for [16, 3072, 80]; see
+    # docs/PERF.md). Two hard-won constraints: groups must be a multiple
+    # of 8 (a [10, T, 32] group gets the (8,128)-tiled layout padded 6.4x
+    # -> 3 GB per buffer, compile-time HBM OOM) and the loop must be a
+    # static Python unroll, not lax.map (the while-loop body forces
+    # remat_uncompressed layout copies of every stage activation). Time
+    # chunking below remains only for single samples longer than
+    # `direct_limit` frames (~6 min of audio).
+    group = direct_limit // F
+    if group >= 1:
+        if group >= 8:
+            group -= group % 8  # sublane-aligned batch groups
+        waves = [apply_fn(variables, mel[g: g + group])
+                 for g in range(0, B, group)]
+        return jnp.concatenate(waves, axis=0) if len(waves) > 1 else waves[0]
+
     n_chunks = -(-F // core)
     # clamp windows into [0, F - window]; cores stay aligned to i*core
     starts = np.clip(np.arange(n_chunks) * core - overlap, 0, F - window)
