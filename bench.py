@@ -145,7 +145,7 @@ def main():
     note("rtf_fastpitch_ttmel", frames * hop / sr / elapsed)
 
     # ---- config 3: Tacotron2Wave autoregressive --------------------------
-    t2 = Tacotron2Wave(seed=0, arabic_in=False)
+    t2 = Tacotron2Wave(seed=0, arabic_in=False, compute_dtype=jnp.bfloat16)
     t2.model.decoder_max_step = T2_STEPS
     gate = t2.model.variables["params"]["gate_layer"]
     gate["bias"] = gate["bias"] - 10.0  # never stop early: fixed-len decode

@@ -44,6 +44,23 @@ def test_tts_wave_and_batch(pipe):
         assert w.ndim == 1 and len(w) % 256 == 0 and np.isfinite(w).all()
 
 
+def test_bf16_decode_close_to_f32(pipe):
+    """compute_dtype=bfloat16 runs the whole autoregressive decode in bf16
+    and must stay finite and close to the f32 pipeline on the same
+    weights (the TPU fast path; docs/PERF.md)."""
+    bp = Tacotron2Wave(seed=0, config=SMALL, compute_dtype=jnp.bfloat16)
+    bp.model.decoder_max_step = 96
+    bp.model.variables = pipe.model.variables
+    ref = pipe.model.ttmel_single(ARABIC, postprocess_mel=False)
+    got = bp.model.ttmel_single(ARABIC, postprocess_mel=False)
+    assert got.dtype == np.float32 and np.isfinite(got).all()
+    n = min(ref.shape[1], got.shape[1])
+    assert n >= 1 and abs(ref.shape[1] - got.shape[1]) <= 8
+    err = np.sqrt(np.mean((ref[:, :n] - got[:, :n]) ** 2))
+    scale = np.sqrt(np.mean(ref[:, :n] ** 2)) + 1e-9
+    assert err / scale < 0.15, err / scale
+
+
 def test_speed_resize(pipe):
     slow = pipe.model.ttmel_single(ARABIC, speed=0.5)
     fast = pipe.model.ttmel_single(ARABIC, speed=2.0)

@@ -71,8 +71,16 @@ class Tacotron2TTS:
 
     def __init__(self, checkpoint=None, config: Tacotron2Config | None = None,
                  arabic_in: bool = True, vowelizer: Optional[str] = None,
-                 decoder_max_step: int = 3000, seed: int = 0):
+                 decoder_max_step: int = 3000, seed: int = 0,
+                 compute_dtype=None):
+        """compute_dtype: jnp.bfloat16 runs the autoregressive decode in
+        bf16 (measured 1.25x e2e on TPU v5e, waveform deviation ~0.5%
+        rel-RMSE vs f32 with unchanged decode lengths; the per-step LSTM +
+        attention weight streaming is HBM-bound, so halving weight bytes
+        is most of the step). None (default) = full f32 for exact
+        reference parity."""
         self.arabic_in = arabic_in
+        self.compute_dtype = compute_dtype
         self.default_vowelizer = vowelizer
         self._vowelizers = {}
         self.phon_to_id = None
@@ -141,9 +149,19 @@ class Tacotron2TTS:
 
     def _infer_fn(self, variables, tokens, token_lens, speaker_ids, rng, *,
                   max_steps):
-        return self.model.apply(variables, tokens, token_lens, speaker_ids,
-                                max_steps=max_steps, rng=rng,
-                                method=Tacotron2.infer)
+        dt = self.compute_dtype
+        if dt is not None:
+            variables = jax.tree.map(
+                lambda x: x.astype(dt)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
+        out = self.model.apply(variables, tokens, token_lens, speaker_ids,
+                               max_steps=max_steps, rng=rng,
+                               method=Tacotron2.infer)
+        if dt is not None:
+            out = {k: v.astype(jnp.float32)
+                   if jnp.issubdtype(v.dtype, jnp.floating) else v
+                   for k, v in out.items()}
+        return out
 
     def _dispatch_infer(self, tokens_list: List[List[str]], speaker_id: int,
                         pad_to=None, rng=None):
@@ -245,10 +263,11 @@ class Tacotron2Wave:
 
     def __init__(self, model_sd_path=None, vocoder_sd=None,
                  vocoder_config=None, vowelizer: Optional[str] = None,
-                 arabic_in: bool = True, config=None, seed: int = 0):
+                 arabic_in: bool = True, config=None, seed: int = 0,
+                 compute_dtype=None):
         self.model = Tacotron2TTS(model_sd_path, config=config,
                                   arabic_in=arabic_in, vowelizer=vowelizer,
-                                  seed=seed)
+                                  seed=seed, compute_dtype=compute_dtype)
         if vocoder_config is not None:
             self.vocoder_config = HiFiGANConfig.from_json(vocoder_config)
         else:
