@@ -80,3 +80,18 @@ def test_list_input():
     s = Shakkelha(seed=0)
     outs = s.predict(["ذهب", "ولد"])
     assert isinstance(outs, list) and len(outs) == 2
+
+
+def test_batched_predict_matches_single():
+    """The batched (padded + carry-hold masked) forward must reproduce the
+    per-utterance outputs exactly, across mixed lengths crossing the
+    32-char bucket boundary."""
+    texts = ["ذهب الولد الصغير إلى المدرسة في الصباح الباكر ثم عاد",
+             "ولد", "السلام عليكم ورحمة الله", "من"]
+    for model in (Shakkala(seed=0), Shakkelha(seed=0)):
+        singles = [model.predict(t) for t in texts]
+        batched = model.predict(texts)
+        assert batched == singles
+        _, probs = model.predict(texts, return_probs=True)
+        _, p0 = model.predict(texts[1], return_probs=True)
+        np.testing.assert_allclose(probs[1], p0, atol=2e-6, rtol=0)

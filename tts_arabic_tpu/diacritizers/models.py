@@ -61,6 +61,53 @@ def _bilstm(params, x, gate_fn=jax.nn.sigmoid):
     return jnp.concatenate([fwd, bwd], axis=-1)
 
 
+def _lstm_scan_batch(p, x, mask, gate_fn):
+    """Batched LSTM over [B, T, C] -> [B, T, H] with a [B, T] validity
+    mask: the carry HOLDS at masked steps, so for right-padded input the
+    forward pass, and for its reversal the backward pass, produce exactly
+    the per-utterance unpadded results at every valid position."""
+    H = p["wh"].shape[0]
+
+    def step(carry, inp):
+        xt, mt = inp
+        h, c = carry
+        z = xt @ p["wi"] + p["bi"] + h @ p["wh"] + p["bh"]
+        i, f, g, o = jnp.split(z, 4, axis=-1)
+        c_new = gate_fn(f) * c + gate_fn(i) * jnp.tanh(g)
+        h_new = gate_fn(o) * jnp.tanh(c_new)
+        m = mt[:, None]
+        return (jnp.where(m, h_new, h), jnp.where(m, c_new, c)), h_new
+
+    B = x.shape[0]
+    init = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+    _, ys = jax.lax.scan(step, init, (x.swapaxes(0, 1), mask.T))
+    return ys.swapaxes(0, 1)
+
+
+def _bilstm_batch(params, x, mask, gate_fn=jax.nn.sigmoid):
+    fwd = _lstm_scan_batch(params["fwd"], x, mask, gate_fn)
+    bwd = _lstm_scan_batch(params["bwd"], x[:, ::-1], mask[:, ::-1],
+                           gate_fn)[:, ::-1]
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+_LEN_BUCKET = 32  # char-length bucket: one compile per 32-char step
+
+
+def _pad_batch(ids_list):
+    """List of int32 [L_i] -> padded [B, L_bucket] ids + [B, L_bucket]
+    mask (right padding)."""
+    L = max(len(i) for i in ids_list)
+    L = -(-L // _LEN_BUCKET) * _LEN_BUCKET
+    B = len(ids_list)
+    ids = np.zeros((B, L), np.int32)
+    mask = np.zeros((B, L), bool)
+    for b, row in enumerate(ids_list):
+        ids[b, : len(row)] = row
+        mask[b, : len(row)] = True
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
 def _import_bilstm(sd, prefix):
     def layer(suffix):
         return {"wi": np.ascontiguousarray(sd[f"{prefix}.weight_ih_l0{suffix}"].T),
@@ -101,6 +148,7 @@ class Shakkala:
             params = self._random_params(seed)
         self.params = jax.tree.map(jnp.asarray, params)
         self._fwd = jax.jit(self._forward)
+        self._fwd_batch = jax.jit(self._forward_batch)
 
     @staticmethod
     def _random_params(seed, dim_in=149, dim_out=28):
@@ -135,15 +183,26 @@ class Shakkala:
         logits = x @ p["dense0"]["w"] + p["dense0"]["b"]
         return jax.nn.softmax(logits, axis=-1)
 
-    def predict(self, text: Union[str, List[str]], return_probs=False):
-        if isinstance(text, list):
-            outs = [self.predict(t, return_probs) for t in text]
-            return ([o[0] for o in outs], [o[1] for o in outs]) \
-                if return_probs else outs
+    def _forward_batch(self, ids, mask):
+        p = self.params
+        x = p["emb"][ids]
+        m = mask.astype(x.dtype)
+        x = _bilstm_batch(p["lstm0"], x, mask, hard_sigmoid)
+        bn = p["bn0"]
+        x = (x - bn["mean"]) / jnp.sqrt(bn["var"] + 1e-3) * bn["scale"] \
+            + bn["bias"]
+        x = x * m[..., None]  # BN shifts pad rows; re-zero for lstm1 input
+        x = _bilstm_batch(p["lstm1"], x, mask, hard_sigmoid)
+        x = _bilstm_batch(p["lstm2"], x, mask, hard_sigmoid)
+        logits = x @ p["dense0"]["w"] + p["dense0"]["b"]
+        return jax.nn.softmax(logits, axis=-1)
+
+    def _encode(self, text):
         unk = self.char_to_id["<UNK>"]
-        ids = np.asarray([self.char_to_id.get(ch, unk) for ch in text],
-                         np.int32)
-        probs = np.asarray(self._fwd(jnp.asarray(ids)))
+        return np.asarray([self.char_to_id.get(ch, unk) for ch in text],
+                          np.int32)
+
+    def _decode(self, text, probs):
         classes = probs.argmax(-1)
         out = []
         for ch, cls in zip(text, classes):
@@ -151,7 +210,22 @@ class Shakkala:
             if haraka in ("<UNK>", "ـ"):
                 haraka = ""
             out.append(ch + haraka)
-        result = "".join(out)
+        return "".join(out)
+
+    def predict(self, text: Union[str, List[str]], return_probs=False):
+        if isinstance(text, list):
+            # ONE padded+masked batched forward for the whole list (one
+            # device dispatch, one compile per 32-char length bucket) —
+            # matches per-utterance results exactly (carry-hold masking)
+            ids, mask = _pad_batch([self._encode(t) for t in text])
+            probs = np.asarray(self._fwd_batch(ids, mask))
+            outs = [(self._decode(t, probs[b, : len(t)]),
+                     probs[b, : len(t)]) for b, t in enumerate(text)]
+            return ([o[0] for o in outs], [o[1] for o in outs]) \
+                if return_probs else [o[0] for o in outs]
+        ids = self._encode(text)
+        probs = np.asarray(self._fwd(jnp.asarray(ids)))
+        result = self._decode(text, probs)
         return (result, probs) if return_probs else result
 
 
@@ -181,6 +255,7 @@ class Shakkelha:
             params = self._random_params(seed)
         self.params = jax.tree.map(jnp.asarray, params)
         self._fwd = jax.jit(self._forward)
+        self._fwd_batch = jax.jit(self._forward_batch)
 
     @staticmethod
     def _random_params(seed, dim_in=91, dim_out=19):
@@ -208,20 +283,26 @@ class Shakkelha:
         x = jax.nn.relu(x @ p["dense1"]["w"] + p["dense1"]["b"])
         return jax.nn.softmax(x @ p["dense2"]["w"] + p["dense2"]["b"], -1)
 
+    def _forward_batch(self, ids, mask):
+        p = self.params
+        x = p["emb"][ids]
+        x = _bilstm_batch(p["lstm0"], x, mask)
+        x = _bilstm_batch(p["lstm1"], x, mask)
+        x = jax.nn.relu(x @ p["dense0"]["w"] + p["dense0"]["b"])
+        x = jax.nn.relu(x @ p["dense1"]["w"] + p["dense1"]["b"])
+        return jax.nn.softmax(x @ p["dense2"]["w"] + p["dense2"]["b"], -1)
+
     def _strip_diacritics(self, text):
         return "".join(ch for ch in text if ch not in self.diacritics)
 
-    def predict(self, text: Union[str, List[str]], return_probs=False):
-        if isinstance(text, list):
-            outs = [self.predict(t, return_probs) for t in text]
-            return ([o[0] for o in outs], [o[1] for o in outs]) \
-                if return_probs else outs
-        stripped = self._strip_diacritics(text)
+    def _encode(self, stripped):
         unk = self.char_to_id["<UNK>"]
         ids = [self.char_to_id["<SOS>"]]
         ids += [self.char_to_id.get(ch, unk) for ch in stripped]
         ids.append(self.char_to_id["<EOS>"])
-        probs = np.asarray(self._fwd(jnp.asarray(np.asarray(ids, np.int32))))
+        return np.asarray(ids, np.int32)
+
+    def _decode(self, stripped, probs):
         body = probs[1:]  # drop <SOS> position
         out = []
         for ch, pr in zip(stripped, body):
@@ -232,7 +313,20 @@ class Shakkelha:
             if "<" in cls:
                 continue
             out.append(cls)
-        result = "".join(out)
+        return "".join(out)
+
+    def predict(self, text: Union[str, List[str]], return_probs=False):
+        if isinstance(text, list):
+            stripped = [self._strip_diacritics(t) for t in text]
+            ids, mask = _pad_batch([self._encode(s) for s in stripped])
+            probs = np.asarray(self._fwd_batch(ids, mask))
+            outs = [(self._decode(s, probs[b, : len(s) + 2]),
+                     probs[b, : len(s) + 2]) for b, s in enumerate(stripped)]
+            return ([o[0] for o in outs], [o[1] for o in outs]) \
+                if return_probs else [o[0] for o in outs]
+        stripped = self._strip_diacritics(text)
+        probs = np.asarray(self._fwd(jnp.asarray(self._encode(stripped))))
+        result = self._decode(stripped, probs)
         return (result, probs) if return_probs else result
 
 

@@ -148,6 +148,25 @@ class FastPitchTTS:
         ids = text_frontend.tokens_to_ids(tokens, self.phon_to_id)
         return np.asarray(ids, np.int32)
 
+    def tokenize_batch(self, batch: List[str],
+                       vowelizer: Optional[str] = None) -> List[np.ndarray]:
+        """Tokenize a batch with ONE batched diacritizer forward when a
+        vowelizer is active (the per-utterance path pays one LSTM-scan
+        dispatch — and one compile per new char length — per sentence)."""
+        name = vowelizer or self.default_vowelizer
+        if name is None:
+            return [self.tokenize(t) for t in batch]
+        if name not in self._vowelizers:
+            from ..diacritizers import load_vowelizer
+            self._vowelizers[name] = load_vowelizer(name)
+        arabic = [text_frontend.buckwalter_to_arabic(t) for t in batch]
+        vowelized = self._vowelizers[name].predict(arabic)
+        to_tokens = (text_frontend.arabic_to_tokens if self.arabic_in
+                     else text_frontend.buckwalter_to_tokens)
+        return [np.asarray(text_frontend.tokens_to_ids(
+            to_tokens(v, append_space=False), self.phon_to_id), np.int32)
+            for v in vowelized]
+
     # -- jitted phases -------------------------------------------------------
 
     def _encode_fn(self, variables, tokens, pitch_mul, pitch_add, speaker,
@@ -234,7 +253,7 @@ class FastPitchTTS:
                     speaker_id: int = 0, vowelizer: Optional[str] = None,
                     pitch_mul: float = 1.0, pitch_add: float = 0.0,
                     pad_to=None):
-        ids_list = [self.tokenize(t, vowelizer) for t in batch]
+        ids_list = self.tokenize_batch(batch, vowelizer)
         mel, mel_lens, inverse, _ = self._infer_batch_mel(
             ids_list, speed, speaker_id, pitch_mul, pitch_add, pad_to)
         mel = np.asarray(mel)
@@ -265,7 +284,8 @@ class FastPitchTTS:
         batches = [order[k: k + bs] for k in range(0, len(order), bs)]
         encs = [
             self._encode_batch(
-                [self.tokenize(text_input[i], vowelizer) for i in idxs],
+                self.tokenize_batch([text_input[i] for i in idxs],
+                                    vowelizer),
                 speaker_id, pitch_mul, pitch_add, bs, speed)
             for idxs in batches
         ]
@@ -429,7 +449,7 @@ class FastPitch2Wave:
                          pitch_mul, pitch_add, pad_to):
         """Sweep 1: tokenize + dispatch phase-A (async, no host sync)."""
         m = self.model
-        ids_list = [m.tokenize(t, vowelizer) for t in batch]
+        ids_list = m.tokenize_batch(batch, vowelizer)
         return m._encode_batch(ids_list, speaker_id, pitch_mul, pitch_add,
                                pad_to, speed)
 

@@ -145,6 +145,22 @@ class Tacotron2TTS:
             return text_frontend.arabic_to_tokens(utterance)
         return text_frontend.buckwalter_to_tokens(utterance)
 
+    def tokenize_batch(self, batch: List[str],
+                       vowelizer: Optional[str] = None):
+        """Batch tokenize with ONE batched diacritizer forward when a
+        vowelizer is active (see FastPitchTTS.tokenize_batch)."""
+        name = vowelizer or self.default_vowelizer
+        if name is None:
+            return [self.tokenize(t) for t in batch]
+        if name not in self._vowelizers:
+            from ..diacritizers import load_vowelizer
+            self._vowelizers[name] = load_vowelizer(name)
+        arabic = [text_frontend.buckwalter_to_arabic(t) for t in batch]
+        vowelized = self._vowelizers[name].predict(arabic)
+        to_tokens = (text_frontend.arabic_to_tokens if self.arabic_in
+                     else text_frontend.buckwalter_to_tokens)
+        return [to_tokens(v) for v in vowelized]
+
     # -- jitted inference ----------------------------------------------------
 
     def _infer_fn(self, variables, tokens, token_lens, speaker_ids, rng, *,
@@ -204,7 +220,7 @@ class Tacotron2TTS:
                         postprocess_mel: bool):
         """Tokenize + EOS-postprocess token insertion (networks.py:134-137).
         Returns (tokens_list, do_post flags)."""
-        tokens_list = [self.tokenize(t, vowelizer) for t in batch]
+        tokens_list = self.tokenize_batch(batch, vowelizer)
         do_post = []
         for toks in tokens_list:
             p = postprocess_mel and needs_postprocessing(toks[-N_EOS - 1])
