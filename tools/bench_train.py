@@ -1,0 +1,124 @@
+"""Training-step throughput benchmark on the real TPU chip.
+
+Runs the FULL production FastPitch adversarial training step (ConvAttention
+soft alignment -> in-graph MAS -> teacher-forced forward -> composite +
+CTC + KL losses -> LSGAN critic D/G updates, one jitted program; reference
+recipe scripts/train_fp_adv.py) at the real bucket shape from
+configs/nawar_fp_adv.yaml (batch 10 x mel<=1000) and reports steps/s,
+mel-frames/s, and train MFU from XLA's compiled cost model.
+
+Usage: python tools/bench_train.py [--steps 20] [--batch 10] [--frames 1000]
+"""
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from tts_arabic_tpu.runtime.cache import enable_compilation_cache
+enable_compilation_cache()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def make_batch(rng, B, T_txt, T_mel):
+    tokens = rng.integers(1, 40, (B, T_txt)).astype(np.int32)
+    return {
+        "tokens": tokens,
+        "token_lens": np.full((B,), T_txt, np.int32),
+        "mel_tgt": rng.standard_normal((B, T_mel, 80)).astype(np.float32),
+        "mel_lens": np.full((B,), T_mel, np.int32),
+        "pitch_dense": rng.standard_normal((B, 1, T_mel)).astype(np.float32),
+        "energy_dense": np.abs(
+            rng.standard_normal((B, T_mel))).astype(np.float32),
+        "attn_prior": np.full((B, T_mel, T_txt), 1.0 / T_txt, np.float32),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=10)
+    ap.add_argument("--frames", type=int, default=1000)
+    ap.add_argument("--tokens", type=int, default=160)
+    ap.add_argument("--no-adv", action="store_true")
+    args = ap.parse_args()
+
+    from tts_arabic_tpu.models.fastpitch import FastPitch, FastPitchConfig
+    from tts_arabic_tpu.train.gan import PatchDiscriminator
+    from tts_arabic_tpu.train.steps import (TrainState, make_optimizer,
+                                            make_fastpitch_train_step)
+    from tts_arabic_tpu.eval.flops import chip_peak_flops
+
+    config = FastPitchConfig()  # production: 384-dim, 6+6 FFT layers
+    model = FastPitch(config)
+    B, T_txt, T_mel = args.batch, args.tokens, args.frames
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng, B, T_txt, T_mel)
+    durs0 = np.full((B, T_txt), T_mel / T_txt, np.float32)
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(batch["tokens"][:1]),
+        jnp.asarray(batch["token_lens"][:1]),
+        jnp.asarray(batch["mel_tgt"][:1]),
+        jnp.asarray(batch["mel_lens"][:1]),
+        jnp.asarray(batch["pitch_dense"][:1]),
+        jnp.asarray(batch["energy_dense"][:1]),
+        jnp.asarray(batch["attn_prior"][:1]), jnp.asarray(durs0[:1]),
+        deterministic=True, method=FastPitch.forward_train)
+
+    tx = make_optimizer(1e-4)
+    if args.no_adv:
+        critic, tx_d, d_vars = None, None, None
+        state = TrainState(params=variables["params"],
+                           opt_state=tx.init(variables["params"]),
+                           step=jnp.asarray(0))
+    else:
+        critic = PatchDiscriminator(32)
+        d_vars = critic.init({"params": jax.random.PRNGKey(1)},
+                             jnp.zeros((1, 128, 80, 1)))
+        tx_d = make_optimizer(1e-4)
+        state = TrainState(
+            params=variables["params"],
+            opt_state=tx.init(variables["params"]), step=jnp.asarray(0),
+            d_params=d_vars["params"],
+            d_opt_state=tx_d.init(d_vars["params"]),
+            d_spectral=d_vars["spectral"])
+    step_fn = make_fastpitch_train_step(model, tx, critic=critic, tx_d=tx_d)
+    jit_step = jax.jit(lambda s, b, r: step_fn(s, b, r), donate_argnums=0)
+
+    dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    lowered = jax.jit(lambda s, b, r: step_fn(s, b, r)).lower(
+        state, dev_batch, key)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis() or {}
+    step_flops = float(cost.get("flops", 0.0))
+    print(f"compile {time.perf_counter()-t0:.0f}s; XLA cost model: "
+          f"{step_flops/1e12:.2f} TFLOP/step", file=sys.stderr)
+
+    state, meta = jit_step(state, dev_batch, key)
+    float(meta["loss"])  # block + force fetch
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, meta = jit_step(state, dev_batch,
+                               jax.random.fold_in(key, i))
+    loss = float(meta["loss"])  # chain-blocks the whole run
+    dt = time.perf_counter() - t0
+    sps = args.steps / dt
+    peak = chip_peak_flops(dtype="f32")  # train step runs f32
+    tf = step_flops * sps / 1e12
+    print(f"adv={not args.no_adv} B={B} T_mel={T_mel} T_txt={T_txt}: "
+          f"{sps:.2f} steps/s  {sps*B:.1f} ex/s  {sps*B*T_mel/1e3:.1f}k "
+          f"mel-frames/s  {tf:.2f} TFLOP/s"
+          + (f"  train_mfu={tf*1e12/peak:.3f}" if peak else "")
+          + f"  loss={loss:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -309,8 +309,15 @@ class Tacotron2Wave:
         return self.vocoder_config.sampling_rate
 
     def _vocode_fn(self, voc_vars, bias_spec, mel, strength, *, use_denoiser):
+        dt = self.model.compute_dtype
+        if dt is not None:  # bf16 vocoding, matching the FastPitch wave jit
+            voc_vars = jax.tree.map(
+                lambda x: x.astype(dt)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, voc_vars)
+            mel = mel.astype(dt)
         wave = chunked_vocode(self.vocoder.apply, voc_vars, mel,
                               pad_value=LOG_MEL_PAD)
+        wave = wave.astype(jnp.float32)
         if use_denoiser:
             wave = denoiser_mod.denoise(wave, bias_spec, strength)
         return wave

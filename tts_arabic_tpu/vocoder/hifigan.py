@@ -187,7 +187,11 @@ def chunked_vocode(apply_fn, variables, mel, *, core: int = 480,
     window = core + 2 * overlap
     # one fused call is ~25% faster than tiling (no overlap recompute,
     # better MXU utilization) and fits HBM below ~32k batch*frames
-    # (B=16 x F=2048 measured fine; 16 x 3072 OOMs the 16G chip)
+    # (B=16 x F=2048 measured fine in bf16; 16 x 3072 OOMs the 16G chip).
+    # The budget is calibrated for bf16 activations — halve it for f32
+    # ([16, 768, 80] f32 through the full wave program measured OOM)
+    if jnp.dtype(mel.dtype).itemsize >= 4:
+        direct_limit //= 2
     if F <= window or B * F <= direct_limit:
         return apply_fn(variables, mel)
 
