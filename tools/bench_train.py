@@ -111,12 +111,15 @@ def main():
     loss = float(meta["loss"])  # chain-blocks the whole run
     dt = time.perf_counter() - t0
     sps = args.steps / dt
-    peak = chip_peak_flops(dtype="f32")  # train step runs f32
+    # params/data are f32, but JAX's default matmul precision executes f32
+    # matmuls on the MXU as bf16 passes — the honest roofline is bf16 peak
+    peak = chip_peak_flops(dtype="bf16")
     tf = step_flops * sps / 1e12
     print(f"adv={not args.no_adv} B={B} T_mel={T_mel} T_txt={T_txt}: "
           f"{sps:.2f} steps/s  {sps*B:.1f} ex/s  {sps*B*T_mel/1e3:.1f}k "
           f"mel-frames/s  {tf:.2f} TFLOP/s"
-          + (f"  train_mfu={tf*1e12/peak:.3f}" if peak else "")
+          + (f"  train_mfu={tf*1e12/peak:.3f} (bf16-peak roofline)"
+             if peak else "")
           + f"  loss={loss:.3f}")
 
 
