@@ -68,6 +68,29 @@ def test_speed_resize(pipe):
     assert slow.shape[1] > fast.shape[1]
 
 
+def test_stream_matches_tts_single(pipe):
+    """Streamed chunks concatenated must equal the batch pipeline's wave
+    (postprocess_mel=False) to float tolerance: same decode steps, same
+    rng, margins >= every receptive field, batch-identical padding."""
+    ref = pipe.tts_single(ARABIC, denoise=0.004, postprocess_mel=False)
+    chunks = list(pipe.stream(ARABIC, chunk_frames=32, denoise=0.004))
+    got = np.concatenate(chunks)
+    assert len(chunks) >= 2  # actually exercised segmentation
+    assert got.shape == ref.shape
+    # window programs fuse differently than the bucket program, so float
+    # rounding differs by ~1e-5 (-90 dB); 1e-4 is far below audibility
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=0)
+
+
+def test_stream_bf16(pipe):
+    bp = Tacotron2Wave(seed=0, config=SMALL, compute_dtype=jnp.bfloat16)
+    bp.model.decoder_max_step = 96
+    bp.model.variables = pipe.model.variables
+    chunks = list(bp.stream(ARABIC, chunk_frames=48, denoise=0.0))
+    w = np.concatenate(chunks)
+    assert w.dtype == np.float32 and np.isfinite(w).all() and len(w) > 0
+
+
 def test_needs_postprocessing_rules():
     assert not needs_postprocessing("a")
     assert not needs_postprocessing("m")

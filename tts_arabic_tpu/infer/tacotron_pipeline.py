@@ -363,6 +363,129 @@ class Tacotron2Wave:
             return out[0][0], out[1][0]
         return out[0]
 
+    # -- streaming synthesis (segmented autoregressive decode) ---------------
+
+    # margin around each emitted core: postnet RF (10) + HiFi-GAN RF (~13)
+    # + denoiser STFT context (4), rounded up
+    _STREAM_MARGIN = 32
+
+    def _stream_win_fn(self, variables, voc_vars, bias_spec, mel_w, valid,
+                       strength, *, use_denoiser, out_int16):
+        """Postnet + vocode one mel window [1, W, n_mels] (pre-postnet).
+        Frames at index >= `valid` are reset to LOG_MEL_PAD after the
+        postnet, reproducing the batch path's bucket padding exactly."""
+        dt = self.model.compute_dtype
+        if dt is not None:
+            cast = lambda t: jax.tree.map(
+                lambda x: x.astype(dt)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+            variables, voc_vars, mel_w = (cast(variables), cast(voc_vars),
+                                          mel_w.astype(dt))
+        post = mel_w + self.model.model.apply(variables, mel_w,
+                                              method=Tacotron2.postnet)
+        idx = jnp.arange(mel_w.shape[1])[None, :, None]
+        post = jnp.where(idx < valid, post,
+                         jnp.asarray(LOG_MEL_PAD, post.dtype))
+        wave = self.vocoder.apply(voc_vars, post).astype(jnp.float32)
+        if use_denoiser:
+            wave = denoiser_mod.denoise(wave, bias_spec, strength)
+        if out_int16:
+            wave = (jnp.clip(wave, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+        return wave
+
+    def _make_stream_jits(self):
+        m = self.model
+        dt = m.compute_dtype
+        cast = (lambda t: jax.tree.map(
+            lambda x: x.astype(dt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)) \
+            if dt is not None else (lambda t: t)
+
+        def enc_fn(variables, tokens, token_lens, speakers):
+            variables = cast(variables)
+            enc = m.model.apply(variables, tokens, token_lens, speakers,
+                                method=Tacotron2.encode_infer)
+            carry = m.model.apply(variables, enc["memory"],
+                                  method=Tacotron2.init_decode_carry)
+            return enc, carry
+
+        def seg_fn(variables, carry, enc, rng, *, n_steps):
+            return m.model.apply(cast(variables), carry, enc, rng,
+                                 n_steps=n_steps,
+                                 method=Tacotron2.decode_segment)
+
+        self._enc_stream_jit = jax.jit(enc_fn)
+        self._seg_jit = jax.jit(seg_fn, static_argnames=("n_steps",))
+        self._win_jit = jax.jit(self._stream_win_fn,
+                                static_argnames=("use_denoiser", "out_int16"))
+
+    def stream(self, utterance: str, chunk_frames: int = 96,
+               denoise: float = 0.005, speaker_id: int = 0,
+               vowelizer: Optional[str] = None, out_int16: bool = False):
+        """Streaming autoregressive synthesis: the decode runs in
+        `chunk_frames`-step jitted segments and audio chunks are yielded
+        as soon as the postnet/vocoder lookahead margin is decoded —
+        first-audio latency is ~one segment instead of the full decode
+        (the reference has no streaming story; its decode is one opaque
+        torchaudio loop). Matches `tts_single(postprocess_mel=False)` to
+        float tolerance: segment bodies are the exact `infer` loop step,
+        and every emitted core carries a decoded margin >= postnet +
+        HiFi-GAN + denoiser receptive fields, with beyond-length frames
+        reset to the batch path's LOG_MEL_PAD."""
+        m = self.model
+        toks = m.tokenize(utterance, vowelizer)
+        ids = np.asarray(text_frontend.tokens_to_ids(toks, m.phon_to_id),
+                         np.int32)
+        padded = _pad_ids([ids], _round_up(len(ids), TEXT_BUCKET))
+        if not hasattr(self, "_seg_jit"):
+            self._make_stream_jits()
+        enc, carry = self._enc_stream_jit(
+            m.variables, jnp.asarray(padded),
+            jnp.asarray([len(ids)], jnp.int32),
+            jnp.asarray([speaker_id], jnp.int32))
+        rng = jax.random.PRNGKey(0)  # same as _dispatch_infer's default
+
+        margin = self._STREAM_MARGIN
+        W = chunk_frames + 2 * margin
+        hop = self.vocoder_config.hop_length
+        mel_acc = np.zeros((1, 0, self.vocoder_config.num_mels), np.float32)
+        emitted, length, done = 0, 0, False
+
+        while True:
+            if not done:
+                carry, seg = self._seg_jit(m.variables, carry, enc, rng,
+                                           n_steps=chunk_frames)
+                n_new = int(seg["n_new"])
+                if n_new:
+                    mel_acc = np.concatenate(
+                        [mel_acc, np.asarray(seg["mel"][:, :n_new],
+                                             np.float32)], axis=1)
+                length = int(carry["lengths"][0])
+                done = (bool(np.asarray(carry["finished"]).all())
+                        or int(carry["t"]) >= m.decoder_max_step
+                        or n_new == 0)
+            # emit every core whose lookahead margin is decoded (all
+            # remaining cores once the decode is done)
+            while emitted < length and (
+                    done or mel_acc.shape[1] - (emitted + chunk_frames)
+                    >= margin):
+                core_len = min(chunk_frames, length - emitted)
+                start = emitted - margin
+                window = np.zeros((1, W, mel_acc.shape[2]), np.float32)
+                lo, hi = max(start, 0), min(start + W, mel_acc.shape[1])
+                window[:, lo - start: hi - start] = mel_acc[:, lo:hi]
+                wave_w = self._win_jit(
+                    m.variables, self.vocoder_vars, self.bias_spec,
+                    jnp.asarray(window), jnp.int32(length - start),
+                    jnp.float32(denoise), use_denoiser=denoise > 0,
+                    out_int16=out_int16)
+                off = emitted - start
+                yield np.asarray(
+                    wave_w[0, off * hop: (off + core_len) * hop])
+                emitted += core_len
+            if done and emitted >= length:
+                return
+
     def tts(self, text_input: Union[str, List[str]],
             speed: Optional[float] = None, denoise: float = 0.005,
             speaker_id: int = 0, batch_size: int = 8,

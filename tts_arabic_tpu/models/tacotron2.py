@@ -475,3 +475,86 @@ class Tacotron2(nn.Module):
             "alignments": out["buffers"]["align"],
             "gates": out["buffers"]["gate"],
         }
+
+    # ---- segmented autoregressive decode (streaming) -----------------------
+
+    def encode_infer(self, tokens, token_lens=None, speaker_ids=None):
+        """Encoder pass + attention-key precomputation, packaged for
+        `decode_segment` (streaming synthesis; no reference equivalent)."""
+        B, T_txt = tokens.shape
+        if token_lens is None:
+            token_lens = jnp.full((B,), T_txt, jnp.int32)
+        memory = self.encode(tokens, token_lens, speaker_ids, train=False)
+        return {
+            "memory": memory,
+            "processed_memory": self.memory_layer(memory),
+            "memory_mask": sequence_mask(token_lens, T_txt),
+        }
+
+    def init_decode_carry(self, memory):
+        c = self.config
+        B = memory.shape[0]
+        return {
+            "state": self._init_decoder_state(memory),
+            "prev_frame": jnp.zeros((B, c.n_mels), memory.dtype),
+            "finished": jnp.zeros((B,), bool),
+            "lengths": jnp.zeros((B,), jnp.int32),
+            "t": jnp.asarray(0, jnp.int32),
+        }
+
+    def decode_segment(self, carry, enc, rng, *, n_steps: int):
+        """Run up to `n_steps` decoder steps from `carry`, early-exiting
+        when every row's gate fires. Each step is the SAME computation as
+        `infer`'s loop body (prenet rng folded on the global step), so
+        concatenated segment mels are bit-identical to one full decode.
+
+        Returns (carry', {mel [B, n_steps, n_mels] (pre-postnet; rows past
+        the new frames zero), gate, align, n_new scalar}).
+        """
+        c = self.config
+        memory = enc["memory"]
+        processed_memory = enc["processed_memory"]
+        memory_mask = enc["memory_mask"]
+        B, T_txt = memory.shape[:2]
+        self._materialize_decoder(memory, processed_memory, memory_mask)
+        buffers = {
+            "mel": jnp.zeros((B, n_steps, c.n_mels), memory.dtype),
+            "gate": jnp.zeros((B, n_steps), memory.dtype),
+            "align": jnp.zeros((B, n_steps, T_txt), memory.dtype),
+        }
+        init = {**carry, "s": jnp.asarray(0, jnp.int32), "buffers": buffers}
+
+        def cond(cy):
+            not_done = jnp.logical_not(jnp.all(cy["finished"]))
+            if not c.decoder_early_stopping:
+                not_done = True
+            return jnp.logical_and(cy["s"] < n_steps, not_done)
+
+        def body(cy):
+            t, s = cy["t"], cy["s"]
+            pre = self._prenet(cy["prev_frame"], jax.random.fold_in(rng, t))
+            state, mel_frame, gate, weights = self._decode_step(
+                cy["state"], pre, memory, processed_memory, memory_mask,
+                train=False)
+            finished_now = jax.nn.sigmoid(gate) > c.gate_threshold
+            active = jnp.logical_not(cy["finished"])
+            buffers = {
+                "mel": cy["buffers"]["mel"].at[:, s].set(
+                    jnp.where(active[:, None], mel_frame, 0.0)),
+                "gate": cy["buffers"]["gate"].at[:, s].set(gate),
+                "align": cy["buffers"]["align"].at[:, s].set(
+                    jnp.where(active[:, None], weights, 0.0)),
+            }
+            return {
+                "state": state,
+                "prev_frame": mel_frame,
+                "finished": jnp.logical_or(cy["finished"], finished_now),
+                "lengths": cy["lengths"] + active.astype(jnp.int32),
+                "t": t + 1, "s": s + 1,
+                "buffers": buffers,
+            }
+
+        out = jax.lax.while_loop(cond, body, init)
+        new_carry = {k: out[k] for k in
+                     ("state", "prev_frame", "finished", "lengths", "t")}
+        return new_carry, {**out["buffers"], "n_new": out["s"]}
