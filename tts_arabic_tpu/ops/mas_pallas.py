@@ -34,7 +34,10 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30  # python scalar: jnp constants would be captured tracers in the kernel
 
 
-def _mas_kernel(in_lens_ref, out_lens_ref, attn_ref, opt_ref, logp_ref):
+def _opt_kernel(in_lens_ref, out_lens_ref, attn_ref, opt_ref, logp_ref):
+    # opt_ref block is [1, T_mel, T_txt]; index it directly — an
+    # `opt_ref.at[0]` 2D ref view crashes the Mosaic compiler (v5e,
+    # jax 0.9: helper subprocess exit 1, bisected 2026-08-17)
     b = pl.program_id(0)
     _, T_mel, T_txt = attn_ref.shape
     in_len = in_lens_ref[b]
@@ -63,7 +66,7 @@ def _mas_kernel(in_lens_ref, out_lens_ref, attn_ref, opt_ref, logp_ref):
     def bwd(k, j):
         t = T_mel - 1 - k  # rows T_mel-1 .. 1
         active = jnp.logical_and(t < out_len, t >= 1)
-        opt_ref[pl.ds(t, 1), :] = jnp.logical_and(
+        opt_ref[0, pl.ds(t, 1), :] = jnp.logical_and(
             cols == j, active).astype(jnp.float32)
         prev_row = logp_ref[pl.ds(t - 1, 1), :]
         jm1 = jnp.maximum(j - 1, 0)
@@ -74,14 +77,8 @@ def _mas_kernel(in_lens_ref, out_lens_ref, attn_ref, opt_ref, logp_ref):
         return jnp.where(move, j - 1, j)
 
     j_final = jax.lax.fori_loop(0, T_mel - 1, bwd, in_len - 1)
-    opt_ref[0:1, :] = jnp.logical_and(
+    opt_ref[0, 0:1, :] = jnp.logical_and(
         cols == j_final, out_len > 0).astype(jnp.float32)
-
-
-def _opt_kernel(in_lens_ref, out_lens_ref, attn_ref, opt_ref, logp_ref):
-    # opt_ref block is [1, T_mel, T_txt]; write through a 2D view
-    _mas_kernel(in_lens_ref, out_lens_ref, attn_ref,
-                opt_ref.at[0], logp_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
