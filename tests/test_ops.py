@@ -1,5 +1,6 @@
-"""Pallas kernel tests (interpret mode on CPU; compiled path exercised on
-TPU by bench/verify runs)."""
+"""Pallas kernel tests (interpret mode on CPU; the COMPILED path is
+exercised on the real chip by tools/chip_check.py — interpret mode cannot
+catch Mosaic compiler regressions, see docs/PERF.md)."""
 import numpy as np
 import pytest
 
