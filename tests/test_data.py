@@ -76,6 +76,24 @@ def test_fastpitch_dataset_and_collate(corpus):
     assert batch["attn_prior"].shape == (3, T_mel, batch["tokens"].shape[1])
 
 
+def test_fastpitch_dataset_cache(corpus, monkeypatch):
+    """cache=True must serve repeat items without recomputing (the flag
+    was silently dead on ArabDatasetFastPitch: its __getitem__ override
+    skipped the parent's cache)."""
+    ds = ArabDatasetFastPitch(corpus / "labels.txt", corpus, cache=True)
+    first = ds[0]
+    calls = {"n": 0}
+
+    def boom(self, idx):
+        calls["n"] += 1
+        raise AssertionError("cache miss: recomputed a cached item")
+
+    monkeypatch.setattr(ArabDatasetFastPitch, "_compute_item", boom)
+    again = ds[0]
+    assert calls["n"] == 0
+    np.testing.assert_array_equal(again["mel"], first["mel"])
+
+
 def test_dynbatch_bucketing(corpus):
     ds = ArabDatasetFastPitch(corpus / "labels.txt", corpus)
     dyn = DynBatchDataset(ds, max_lengths=[50, 30000], batch_sizes=[2, 1])

@@ -47,7 +47,8 @@ def main(argv=None):
         config.train_labels, config.train_wavs_path,
         label_pattern=config.label_pattern,
         f0_dict_path=f0_path,
-        f0_mean=config.f0_mean, f0_std=config.f0_std)
+        f0_mean=config.f0_mean, f0_std=config.f0_std,
+        cache=config.get("cache_dataset", False))
     dyn = DynBatchDataset(dataset, max_lengths=config.max_lengths,
                           batch_sizes=config.batch_sizes)
 

@@ -160,6 +160,16 @@ class ArabDatasetFastPitch(ArabDataset):
         return {k: np.asarray(v) for k, v in raw.items()}
 
     def __getitem__(self, idx):
+        # honor the cache here too — on-the-fly f0 (pyin) makes uncached
+        # epochs host-bound far below the chip's 26 steps/s
+        if self.cache is not None and idx in self.cache:
+            return self.cache[idx]
+        item = self._compute_item(idx)
+        if self.cache is not None:
+            self.cache[idx] = item
+        return item
+
+    def _compute_item(self, idx):
         token_ids, fpath, _ = self.data[idx]
         wave, _ = load_wav(fpath, target_sr=self.sr_target)
         mel_log = log_mel_numpy(wave, self.mel_cfg)
