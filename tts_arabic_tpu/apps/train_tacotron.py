@@ -30,17 +30,22 @@ class _BatchedView:
     """Fixed-size batches over an ArabDataset with per-epoch shuffling and
     the reference's long-batch truncation."""
 
-    def __init__(self, ds, batch_size, max_frames=2000, truncated=6, seed=0):
+    def __init__(self, ds, batch_size, max_frames=2000, truncated=6, seed=0,
+                 sampler=None):
         self.ds = ds
         self.bs = batch_size
         self.max_frames = max_frames
         self.truncated = truncated
         self.rng = np.random.default_rng(seed)
+        self.sampler = sampler  # balanced sampling (reference train.py:150)
         self.order = np.arange(len(ds))
         self.shuffle()
 
     def shuffle(self):
-        self.rng.shuffle(self.order)
+        if self.sampler is not None:
+            self.order = self.sampler.sample()
+        else:
+            self.rng.shuffle(self.order)
 
     def __len__(self):
         return (len(self.ds) + self.bs - 1) // self.bs
@@ -68,9 +73,15 @@ def main(argv=None):
     dataset = ArabDataset(config.train_labels, config.train_wavs_path,
                           label_pattern=config.label_pattern,
                           cache=config.get("cache_dataset", False))
+    sampler = None
+    if config.get("balanced_sampling"):
+        from ..data import WeightedSampler
+        sampler = WeightedSampler.from_file(
+            config.get_path("sampler_weights_file"))
     batches = _BatchedView(dataset, config.batch_size,
                            max_frames=config.get("max_frames", 2000),
-                           truncated=config.get("truncated_batch_size", 6))
+                           truncated=config.get("truncated_batch_size", 6),
+                           sampler=sampler)
 
     model_config = Tacotron2Config(
         decoder_max_step=config.get("decoder_max_step", 2000))

@@ -56,6 +56,28 @@ def _pick_mel_bucket(n: int) -> int:
     return _round_up(n, 1024)
 
 
+def _default_vocoder_paths(vocoder_sd, vocoder_config):
+    """When no vocoder weights are given, fall back to the basic config's
+    `vocoder_state_path`/`vocoder_config_path` if those files exist —
+    the reference wrappers load their vocoder from exactly these keys
+    (configs/basic.yaml:19-20, `models/fastpitch/networks.py:262-276`)."""
+    if vocoder_sd is not None:
+        return vocoder_sd, vocoder_config
+    try:
+        from ..runtime.config import get_basic_config
+        bc = get_basic_config()
+        p = bc.get_path("vocoder_state_path")
+        if p.is_file():
+            vocoder_sd = str(p)
+            if vocoder_config is None:
+                cp = bc.get_path("vocoder_config_path")
+                if cp.is_file():
+                    vocoder_config = str(cp)
+    except Exception:
+        pass
+    return vocoder_sd, vocoder_config
+
+
 def _pad_ids(ids_list: Sequence[np.ndarray], length: int) -> np.ndarray:
     out = np.zeros((len(ids_list), length), np.int32)
     for i, ids in enumerate(ids_list):
@@ -361,6 +383,8 @@ class FastPitch2Wave:
                     v, method=type(self.vocoder).bias_vector)
             )(self.vocoder_vars)
         else:
+            vocoder_sd, vocoder_config = _default_vocoder_paths(
+                vocoder_sd, vocoder_config)
             if vocoder_config is not None:
                 self.vocoder_config = HiFiGANConfig.from_json(vocoder_config)
             else:

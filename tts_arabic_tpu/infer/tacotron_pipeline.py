@@ -29,8 +29,9 @@ from ..models.torch_import import (hifigan_params_from_torch,
 from ..runtime.checkpoint import load_states, load_torch_state_dict
 from ..vocoder import denoiser as denoiser_mod
 from ..vocoder.hifigan import Generator, HiFiGANConfig, chunked_vocode
-from .pipeline import (LOG_MEL_PAD, MEL_BUCKETS, TEXT_BUCKET, _pad_ids,
-                       _pick_mel_bucket, _round_up)
+from .pipeline import (LOG_MEL_PAD, MEL_BUCKETS, TEXT_BUCKET,
+                       _default_vocoder_paths, _pad_ids, _pick_mel_bucket,
+                       _round_up)
 
 # tokens whose trailing sound tends to get cut by the stop token; after these
 # the reference inserts an extra separator and truncates on its attention
@@ -284,6 +285,8 @@ class Tacotron2Wave:
         self.model = Tacotron2TTS(model_sd_path, config=config,
                                   arabic_in=arabic_in, vowelizer=vowelizer,
                                   seed=seed, compute_dtype=compute_dtype)
+        vocoder_sd, vocoder_config = _default_vocoder_paths(
+            vocoder_sd, vocoder_config)
         if vocoder_config is not None:
             self.vocoder_config = HiFiGANConfig.from_json(vocoder_config)
         else:
