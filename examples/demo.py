@@ -88,3 +88,12 @@ taco = Tacotron2Wave(None)  # or "pretrained/tacotron2_ar_adv.pth"
 taco.model.decoder_max_step = 256  # keep the random-weight demo short
 wave = taco.tts("صِفر", denoise=0.0)
 print("tacotron2:", len(wave) / taco.sample_rate, "s")
+
+# %% streaming (beyond the reference): chunks arrive as they're vocoded.
+# FastPitch streams the vocoder over a parallel decode; Tacotron2 streams
+# the autoregressive decode itself (first audio after ~one segment).
+for i, chunk in enumerate(tts.stream("اَلسَّلامُ عَلَيكُم يَا صَدِيقِي",
+                                     chunk_frames=128)):
+    print(f"fastpitch chunk {i}: {len(chunk) / tts.sample_rate:.2f}s")
+for i, chunk in enumerate(taco.stream("صِفر", chunk_frames=64, denoise=0.0)):
+    print(f"tacotron2 chunk {i}: {len(chunk) / taco.sample_rate:.2f}s")
