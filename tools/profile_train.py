@@ -71,20 +71,20 @@ def main():
     db = {k: jnp.asarray(v) for k, v in batch.items()}
     key = jax.random.PRNGKey(0)
 
-    def run(state, n, tag):
+    def run(state, n):
         for i in range(n):
             state, meta = jit_step(state, db, jax.random.fold_in(key, i))
         float(meta["loss"])
         return state
 
-    state = run(state, 2, "warmup")
+    state = run(state, 2)  # warmup
     t0 = time.perf_counter()
-    state = run(state, args.steps, "steady")
+    state = run(state, args.steps)
     steady = time.perf_counter() - t0
 
     out = pathlib.Path(args.out)
     with jax.profiler.trace(str(out)):
-        state = run(state, args.steps, "trace")
+        state = run(state, args.steps)
 
     per_op, long_names, total = aggregate_trace(out)
     print(f"steady: {steady/args.steps*1e3:.1f} ms/step "

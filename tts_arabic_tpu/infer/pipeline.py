@@ -49,6 +49,16 @@ def _round_up(n: int, mult: int) -> int:
     return ((n + mult - 1) // mult) * mult
 
 
+def cast_floating(tree, dtype):
+    """Cast every floating leaf of a pytree to `dtype` (int/bool leaves
+    untouched); identity when dtype is None."""
+    if dtype is None:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
 def _pick_mel_bucket(n: int) -> int:
     for b in MEL_BUCKETS:
         if n <= b:
@@ -437,10 +447,8 @@ class FastPitch2Wave:
         from ..vocoder.hifigan import chunked_vocode
         dt = self.compute_dtype
         if dt is not None:
-            cast = lambda t: jax.tree.map(
-                lambda x: x.astype(dt)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
-            fp_vars, voc_vars, enc_out = (cast(fp_vars), cast(voc_vars),
+            fp_vars, voc_vars, enc_out = (cast_floating(fp_vars, dt),
+                                          cast_floating(voc_vars, dt),
                                           enc_out.astype(dt))
         mel, mel_lens = self.model._decode_fn(fp_vars, enc_out, durations,
                                               pace, max_frames=max_frames)
@@ -589,10 +597,7 @@ class FastPitch2Wave:
         compiled program."""
         dt = self.compute_dtype
         if dt is not None:
-            cast = lambda t: jax.tree.map(
-                lambda x: x.astype(dt)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
-            voc_vars, mel = cast(voc_vars), mel.astype(dt)
+            voc_vars, mel = cast_floating(voc_vars, dt), mel.astype(dt)
         piece = jax.lax.dynamic_slice_in_dim(mel, start, window, axis=1)
         if self.vocoder_type == "vocos":
             strength = denoise_strength if use_denoiser else 0.0
@@ -636,10 +641,8 @@ class FastPitch2Wave:
         fp_vars, enc_out = m.variables, enc["enc_out"]
         if self.compute_dtype is not None:  # same decode dtype as _wave_fn
             dt = self.compute_dtype
-            cast = lambda t: jax.tree.map(
-                lambda x: x.astype(dt)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
-            fp_vars, enc_out = cast(fp_vars), enc_out.astype(dt)
+            fp_vars, enc_out = (cast_floating(fp_vars, dt),
+                                enc_out.astype(dt))
         mel, _ = m._decode_jit(fp_vars, enc_out, enc["dur_pred"],
                                jnp.float32(speed), max_frames=bucket)
         if not hasattr(self, "_stream_jit"):

@@ -29,7 +29,7 @@ from ..models.torch_import import (hifigan_params_from_torch,
 from ..runtime.checkpoint import load_states, load_torch_state_dict
 from ..vocoder import denoiser as denoiser_mod
 from ..vocoder.hifigan import Generator, HiFiGANConfig, chunked_vocode
-from .pipeline import (LOG_MEL_PAD, MEL_BUCKETS, TEXT_BUCKET,
+from .pipeline import (LOG_MEL_PAD, MEL_BUCKETS, TEXT_BUCKET, cast_floating,
                        _default_vocoder_paths, _pad_ids, _pick_mel_bucket,
                        _round_up)
 
@@ -167,10 +167,7 @@ class Tacotron2TTS:
     def _infer_fn(self, variables, tokens, token_lens, speaker_ids, rng, *,
                   max_steps):
         dt = self.compute_dtype
-        if dt is not None:
-            variables = jax.tree.map(
-                lambda x: x.astype(dt)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
+        variables = cast_floating(variables, dt)
         out = self.model.apply(variables, tokens, token_lens, speaker_ids,
                                max_steps=max_steps, rng=rng,
                                method=Tacotron2.infer)
@@ -314,10 +311,7 @@ class Tacotron2Wave:
     def _vocode_fn(self, voc_vars, bias_spec, mel, strength, *, use_denoiser):
         dt = self.model.compute_dtype
         if dt is not None:  # bf16 vocoding, matching the FastPitch wave jit
-            voc_vars = jax.tree.map(
-                lambda x: x.astype(dt)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x, voc_vars)
-            mel = mel.astype(dt)
+            voc_vars, mel = cast_floating(voc_vars, dt), mel.astype(dt)
         wave = chunked_vocode(self.vocoder.apply, voc_vars, mel,
                               pad_value=LOG_MEL_PAD)
         wave = wave.astype(jnp.float32)
@@ -379,10 +373,8 @@ class Tacotron2Wave:
         postnet, reproducing the batch path's bucket padding exactly."""
         dt = self.model.compute_dtype
         if dt is not None:
-            cast = lambda t: jax.tree.map(
-                lambda x: x.astype(dt)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
-            variables, voc_vars, mel_w = (cast(variables), cast(voc_vars),
+            variables, voc_vars, mel_w = (cast_floating(variables, dt),
+                                          cast_floating(voc_vars, dt),
                                           mel_w.astype(dt))
         post = mel_w + self.model.model.apply(variables, mel_w,
                                               method=Tacotron2.postnet)
@@ -399,13 +391,9 @@ class Tacotron2Wave:
     def _make_stream_jits(self):
         m = self.model
         dt = m.compute_dtype
-        cast = (lambda t: jax.tree.map(
-            lambda x: x.astype(dt)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)) \
-            if dt is not None else (lambda t: t)
 
         def enc_fn(variables, tokens, token_lens, speakers):
-            variables = cast(variables)
+            variables = cast_floating(variables, dt)
             enc = m.model.apply(variables, tokens, token_lens, speakers,
                                 method=Tacotron2.encode_infer)
             carry = m.model.apply(variables, enc["memory"],
@@ -413,8 +401,8 @@ class Tacotron2Wave:
             return enc, carry
 
         def seg_fn(variables, carry, enc, rng, *, n_steps):
-            return m.model.apply(cast(variables), carry, enc, rng,
-                                 n_steps=n_steps,
+            return m.model.apply(cast_floating(variables, dt), carry, enc,
+                                 rng, n_steps=n_steps,
                                  method=Tacotron2.decode_segment)
 
         self._enc_stream_jit = jax.jit(enc_fn)
