@@ -82,6 +82,12 @@ def test_list_input():
     assert isinstance(outs, list) and len(outs) == 2
 
 
+def test_empty_list_input():
+    for model in (Shakkala(seed=0), Shakkelha(seed=0)):
+        assert model.predict([]) == []
+        assert model.predict([], return_probs=True) == ([], [])
+
+
 def test_batched_predict_matches_single():
     """The batched (padded + carry-hold masked) forward must reproduce the
     per-utterance outputs exactly, across mixed lengths crossing the

@@ -82,6 +82,22 @@ def test_stream_matches_tts_single(pipe):
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=0)
 
 
+def test_stream_caps_at_decoder_max_step(pipe):
+    """When decoder_max_step is not a multiple of chunk_frames and the gate
+    never fires, stream() must stop exactly at decoder_max_step like
+    tts_single() — not over-decode up to chunk_frames-1 extra frames."""
+    old = pipe.model.decoder_max_step
+    pipe.model.decoder_max_step = 90  # not a multiple of 32
+    try:
+        ref = pipe.tts_single(ARABIC, denoise=0.0, postprocess_mel=False)
+        got = np.concatenate(
+            list(pipe.stream(ARABIC, chunk_frames=32, denoise=0.0)))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=0)
+    finally:
+        pipe.model.decoder_max_step = old
+
+
 def test_stream_bf16(pipe):
     bp = Tacotron2Wave(seed=0, config=SMALL, compute_dtype=jnp.bfloat16)
     bp.model.decoder_max_step = 96

@@ -131,4 +131,12 @@ def test_batched_view_sampler_order():
     o1 = bv.order.copy()
     bv.shuffle()
     assert sorted(bv.order) == list(range(6))
-    assert not np.array_equal(o1, bv.order) or True  # order may coincide
+    # sampler-driven reshuffle must actually change the order: one
+    # coincidence is possible (6! orders), five in a row is not
+    changed = False
+    for _ in range(5):
+        if not np.array_equal(o1, bv.order):
+            changed = True
+            break
+        bv.shuffle()
+    assert changed

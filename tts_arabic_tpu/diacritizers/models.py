@@ -214,6 +214,8 @@ class Shakkala:
 
     def predict(self, text: Union[str, List[str]], return_probs=False):
         if isinstance(text, list):
+            if not text:
+                return ([], []) if return_probs else []
             # ONE padded+masked batched forward for the whole list (one
             # device dispatch, one compile per 32-char length bucket) —
             # matches per-utterance results exactly (carry-hold masking)
@@ -317,6 +319,8 @@ class Shakkelha:
 
     def predict(self, text: Union[str, List[str]], return_probs=False):
         if isinstance(text, list):
+            if not text:
+                return ([], []) if return_probs else []
             stripped = [self._strip_diacritics(t) for t in text]
             ids, mask = _pad_batch([self._encode(s) for s in stripped])
             probs = np.asarray(self._fwd_batch(ids, mask))

@@ -25,6 +25,7 @@ waste to ~15% while keeping the compile count small.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import List, Optional, Sequence, Union
 
 import jax
@@ -66,12 +67,16 @@ def _pick_mel_bucket(n: int) -> int:
     return _round_up(n, 1024)
 
 
-def _default_vocoder_paths(vocoder_sd, vocoder_config):
+def _default_vocoder_paths(vocoder_sd, vocoder_config, enabled=True):
     """When no vocoder weights are given, fall back to the basic config's
     `vocoder_state_path`/`vocoder_config_path` if those files exist —
     the reference wrappers load their vocoder from exactly these keys
-    (configs/basic.yaml:19-20, `models/fastpitch/networks.py:262-276`)."""
-    if vocoder_sd is not None:
+    (configs/basic.yaml:19-20, `models/fastpitch/networks.py:262-276`).
+
+    `enabled` should be False for seed-only pipelines (no acoustic-model
+    checkpoint): silently substituting pretrained vocoder weights there
+    would make results depend on whether pretrained/ happens to exist."""
+    if vocoder_sd is not None or not enabled:
         return vocoder_sd, vocoder_config
     try:
         from ..runtime.config import get_basic_config
@@ -83,6 +88,8 @@ def _default_vocoder_paths(vocoder_sd, vocoder_config):
                 cp = bc.get_path("vocoder_config_path")
                 if cp.is_file():
                     vocoder_config = str(cp)
+            logging.getLogger(__name__).info(
+                "vocoder weights defaulted to %s", vocoder_sd)
     except Exception:
         pass
     return vocoder_sd, vocoder_config
@@ -394,7 +401,8 @@ class FastPitch2Wave:
             )(self.vocoder_vars)
         else:
             vocoder_sd, vocoder_config = _default_vocoder_paths(
-                vocoder_sd, vocoder_config)
+                vocoder_sd, vocoder_config,
+                enabled=model_sd_path is not None)
             if vocoder_config is not None:
                 self.vocoder_config = HiFiGANConfig.from_json(vocoder_config)
             else:

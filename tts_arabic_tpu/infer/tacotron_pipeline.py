@@ -283,7 +283,8 @@ class Tacotron2Wave:
                                   arabic_in=arabic_in, vowelizer=vowelizer,
                                   seed=seed, compute_dtype=compute_dtype)
         vocoder_sd, vocoder_config = _default_vocoder_paths(
-            vocoder_sd, vocoder_config)
+            vocoder_sd, vocoder_config,
+            enabled=model_sd_path is not None)
         if vocoder_config is not None:
             self.vocoder_config = HiFiGANConfig.from_json(vocoder_config)
         else:
@@ -444,17 +445,25 @@ class Tacotron2Wave:
 
         while True:
             if not done:
-                carry, seg = self._seg_jit(m.variables, carry, enc, rng,
-                                           n_steps=chunk_frames)
-                n_new = int(seg["n_new"])
-                if n_new:
-                    mel_acc = np.concatenate(
-                        [mel_acc, np.asarray(seg["mel"][:, :n_new],
-                                             np.float32)], axis=1)
-                length = int(carry["lengths"][0])
-                done = (bool(np.asarray(carry["finished"]).all())
-                        or int(carry["t"]) >= m.decoder_max_step
-                        or n_new == 0)
+                # cap the tail segment so the decode stops exactly at
+                # decoder_max_step, matching tts_single() (n_steps is
+                # static, so the capped tail costs one extra compile)
+                n_steps = min(chunk_frames,
+                              m.decoder_max_step - int(carry["t"]))
+                if n_steps <= 0:
+                    done = True
+                else:
+                    carry, seg = self._seg_jit(m.variables, carry, enc, rng,
+                                               n_steps=n_steps)
+                    n_new = int(seg["n_new"])
+                    if n_new:
+                        mel_acc = np.concatenate(
+                            [mel_acc, np.asarray(seg["mel"][:, :n_new],
+                                                 np.float32)], axis=1)
+                    length = int(carry["lengths"][0])
+                    done = (bool(np.asarray(carry["finished"]).all())
+                            or int(carry["t"]) >= m.decoder_max_step
+                            or n_new == 0)
             # emit every core whose lookahead margin is decoded (all
             # remaining cores once the decode is done)
             while emitted < length and (
