@@ -6,16 +6,26 @@ north-star metric) plus one `#`-prefixed line per BASELINE.md config
 
   1. FastPitch text->mel only (`ttmel`)
   2. FastPitch2Wave end-to-end via HiFi-GAN + denoiser  <- headline
-  3. Tacotron2Wave autoregressive decode -> wave
+  3. Tacotron2Wave autoregressive decode -> wave (batch 32: the decode is
+     utilization-starved, measured best of the 8/16/32 sweep)
   4. Multispeaker FastPitch (speaker_id, pitch_mul/add) + Vocos backend
   5. Full frontend: Shakkala vowelizer -> batched synthesis (Arabic script)
 
-Each number is audio-seconds-generated per wall-clock second (RTF),
-steady-state (post-compile), best of 3 passes. The headline also reports
-MFU (model FLOPs utilization = analytic FLOPs/s of the executed padded
-shapes / chip peak FLOP/s, `tts_arabic_tpu/eval/flops.py`) so the RTF is
-anchored to hardware capability rather than tunnel/host timing state.
-Full details land in BENCH_DETAIL.json.
+plus steady-state first-chunk streaming latency for both pipelines (the
+serving "time-to-first-audio" number; the reference has no streaming).
+
+Reproducibility (VERDICT r2 #1): every config runs REPS(=5) timed passes
+and BENCH_DETAIL.json records best/median/all-times/spread per config,
+a per-config COMPUTE-ONLY anchor (pre-tokenized inputs, all programs
+dispatched then blocked on device — no D2H, no host work in the timed
+region; this isolates chip compute from tunnel/host noise), and a
+provenance stamp (git SHA, jax/jaxlib versions, device kind) so
+round-over-round swings can be attributed. The headline RTF remains
+best-of-REPS wall time of the full public-API path.
+
+The headline also reports MFU (model FLOPs utilization = analytic FLOPs/s
+of the executed padded shapes / chip peak FLOP/s,
+`tts_arabic_tpu/eval/flops.py`).
 
 Weights are random (the reference publishes no checkpoints): the FastPitch
 duration head is biased to a realistic ~6.5 frames/token and the Tacotron2
@@ -25,6 +35,7 @@ frames (~8.9 s) per utterance; compute cost is identical to trained weights.
 import json
 import pathlib
 import re
+import subprocess
 import sys
 import time
 
@@ -34,6 +45,8 @@ ROOT = pathlib.Path(__file__).resolve().parent
 T2_STEPS = 768          # fixed Tacotron2 decode length (~8.9 s audio)
 T2_PROMPTS = 32         # autoregressive decode is sequential; subset is
                         # enough for a stable per-step number
+T2_BATCH = 32           # measured best of the 8/16/32 sweep (VERDICT r2 #2)
+REPS = 5
 
 
 def load_prompts():
@@ -45,14 +58,21 @@ def load_prompts():
     return [l for l in lines if l.strip()]
 
 
-def best_of(run, n=3):
-    """(best wall seconds, last return value) over n passes."""
-    best, out = float("inf"), None
-    for _ in range(n):
+def timed(run, reps=REPS):
+    """Run `reps` timed passes; returns (stats dict, last return value)."""
+    times, out = [], None
+    for _ in range(reps):
         t0 = time.perf_counter()
         out = run()
-        best = min(best, time.perf_counter() - t0)
-    return best, out
+        times.append(time.perf_counter() - t0)
+    ts = sorted(times)
+    med = ts[len(ts) // 2]
+    return {
+        "best_s": round(ts[0], 4),
+        "median_s": round(med, 4),
+        "spread_pct": round(100.0 * (ts[-1] - ts[0]) / med, 1),
+        "times_s": [round(t, 4) for t in times],
+    }, out
 
 
 def bias_duration(pipe):
@@ -60,6 +80,26 @@ def bias_duration(pipe):
     speech rate at 86 fps) so benchmark shapes match production."""
     fc = pipe.model.variables["params"]["duration_predictor"]["fc"]
     fc["bias"] = fc["bias"] + 2.0
+
+
+def provenance():
+    import jax
+    import jaxlib
+    try:
+        sha = subprocess.check_output(
+            ["git", "-C", str(ROOT), "rev-parse", "--short", "HEAD"],
+            text=True).strip()
+    except Exception:
+        sha = "unknown"
+    d = jax.devices()[0]
+    return {
+        "git_sha": sha,
+        "jax": jax.__version__,
+        "jaxlib": jaxlib.__version__,
+        "platform": d.platform,
+        "device_kind": getattr(d, "device_kind", "?"),
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
 
 
 def main():
@@ -76,9 +116,35 @@ def main():
     hop = 256
     detail = {}
 
-    def note(key, rtf, extra=""):
+    def note(key, rtf, stats=None, extra=""):
         detail[key] = round(rtf, 2)
+        if stats is not None:
+            detail[key + "_stats"] = stats
+            extra += f" [median {stats['median_s']:.2f}s " \
+                     f"spread {stats['spread_pct']:.0f}%]"
         print(f"# {key}: {rtf:.1f}x realtime {extra}", file=sys.stderr)
+
+    def batch_ids(pipe, texts, batch_size, vowelizer=None):
+        """Length-sorted batches of pre-tokenized id arrays (host work done
+        up front so compute anchors time only device execution)."""
+        order = sorted(range(len(texts)), key=lambda i: -len(texts[i]))
+        batches = [order[k: k + batch_size]
+                   for k in range(0, len(order), batch_size)]
+        return [pipe.model.tokenize_batch([texts[i] for i in b], vowelizer)
+                for b in batches]
+
+    def fp_anchor(pipe, ids_batches, batch_size, denoise=0.005,
+                  speaker_id=0, pitch_mul=1.0, pitch_add=0.0):
+        """Compute-only pass for a FastPitch2Wave pipe: dispatch every
+        encode, then every wave program, block on device — no D2H."""
+        m = pipe.model
+        encs = [m._encode_batch(ids, speaker_id, pitch_mul, pitch_add,
+                                batch_size, 1.0) for ids in ids_batches]
+        handles = [pipe._dispatch_wave(e, 1.0, denoise, False, True)
+                   for e in encs]
+        for h in handles:
+            h[0].block_until_ready()
+        return encs, handles
 
     # ---- config 2 (headline): FastPitch + HiFi-GAN + denoiser e2e --------
     pipe = FastPitch2Wave(seed=0, arabic_in=False, compute_dtype=jnp.bfloat16)
@@ -93,27 +159,17 @@ def main():
     t0 = time.perf_counter()
     total = run_e2e()  # warmup: compile every (text, mel) bucket signature
     warm = time.perf_counter() - t0
-    elapsed, total = best_of(run_e2e)
+    stats, total = timed(run_e2e)
     audio_sec = total / sr
-    rtf = audio_sec / elapsed
-    note("rtf_fastpitch_hifigan_e2e", rtf, f"({audio_sec:.0f}s audio, "
-         f"warmup {warm:.0f}s)")
+    rtf = audio_sec / stats["best_s"]
+    note("rtf_fastpitch_hifigan_e2e", rtf, stats,
+         f"({audio_sec:.0f}s audio, warmup {warm:.0f}s)")
 
-    # compute-only RTF + MFU: dispatch all programs, block, and count the
-    # analytic FLOPs of the exact padded shapes the chip executed
-    order = sorted(range(len(lines)), key=lambda i: -len(lines[i]))
-    batches = [order[k: k + batch_size]
-               for k in range(0, len(order), batch_size)]
-    encs, handles = [], []
-    t0 = time.perf_counter()
-    for idxs in batches:
-        encs.append(pipe._dispatch_encode([lines[i] for i in idxs], 1.0, 0,
-                                          None, 1.0, 0.0, batch_size))
-    for e in encs:
-        handles.append(pipe._dispatch_wave(e, 1.0, 0.005, False, True))
-    for h in handles:
-        h[0].block_until_ready()
-    compute_s = time.perf_counter() - t0
+    # compute-only anchor + MFU: analytic FLOPs of the exact padded shapes
+    ids_b = batch_ids(pipe, lines, batch_size)
+    a_stats, (encs, handles) = timed(lambda: fp_anchor(pipe, ids_b,
+                                                       batch_size))
+    compute_s = a_stats["best_s"]
     cfg = pipe.model.config
     total_flops = 0
     for enc, h in zip(encs, handles):
@@ -129,10 +185,12 @@ def main():
     print(f"# mfu={mfu:.3f}" if mfu is not None else "# mfu=n/a (unknown chip)",
           f"({total_flops/1e12:.2f} TFLOP in {compute_s:.2f}s compute-only, "
           f"compute_rtf={compute_rtf:.0f}x, "
+          f"spread {a_stats['spread_pct']:.0f}%, "
           f"peak={peak/1e12:.0f} TFLOP/s bf16)" if peak else "",
           file=sys.stderr)
     detail["mfu_e2e"] = round(mfu, 4) if mfu is not None else None
     detail["compute_only_rtf"] = round(compute_rtf, 2)
+    detail["compute_only_rtf_stats"] = a_stats
     detail["tflops_per_audio_sec"] = round(total_flops / 1e12 / audio_sec, 3)
 
     # ---- config 1: FastPitch text->mel only ------------------------------
@@ -141,8 +199,29 @@ def main():
         return sum(m.shape[1] for m in mels)
 
     frames = run_mel()  # warmup
-    elapsed, frames = best_of(run_mel)
-    note("rtf_fastpitch_ttmel", frames * hop / sr / elapsed)
+    stats, frames = timed(run_mel)
+    note("rtf_fastpitch_ttmel", frames * hop / sr / stats["best_s"], stats)
+
+    # compute-only anchor: encode + decode programs, no D2H
+    def mel_anchor():
+        m = pipe.model
+        encs = [m._encode_batch(ids, 0, 1.0, 0.0, batch_size, 1.0)
+                for ids in ids_b]
+        maxes = jax.device_get([e[0]["dec_len_max"] for e in encs])
+        from tts_arabic_tpu.infer.pipeline import _pick_mel_bucket
+        handles = [
+            m._decode_jit(m.variables, e[0]["enc_out"], e[0]["dur_pred"],
+                          jnp.float32(1.0),
+                          max_frames=_pick_mel_bucket(int(mx)))[0]
+            for e, mx in zip(encs, maxes)]
+        for h in handles:
+            h.block_until_ready()
+
+    mel_anchor()  # warmup (fp32 decode path may be uncompiled)
+    a_stats, _ = timed(mel_anchor)
+    detail["ttmel_compute_only_rtf"] = round(
+        frames * hop / sr / a_stats["best_s"], 2)
+    detail["ttmel_compute_only_stats"] = a_stats
 
     # ---- config 3: Tacotron2Wave autoregressive --------------------------
     t2 = Tacotron2Wave(seed=0, arabic_in=False, compute_dtype=jnp.bfloat16)
@@ -154,15 +233,34 @@ def main():
                 [:T2_PROMPTS]]
 
     def run_t2():
-        waves = t2.tts(t2_lines, denoise=0.005, batch_size=8,
-                       postprocess_mel=False)
+        waves = t2.tts(t2_lines, denoise=0.005, batch_size=T2_BATCH,
+                       postprocess_mel=False, out_int16=True)
         return sum(len(w) for w in waves)
 
     total = run_t2()  # warmup
-    elapsed, total = best_of(run_t2)
-    t2_rtf = total / sr / elapsed
-    note("rtf_tacotron2_e2e", t2_rtf,
-         f"({T2_PROMPTS} prompts x {T2_STEPS}-frame decode, batch 8)")
+    stats, total = timed(run_t2)
+    t2_rtf = total / sr / stats["best_s"]
+    note("rtf_tacotron2_e2e", t2_rtf, stats,
+         f"({T2_PROMPTS} prompts x {T2_STEPS}-frame decode, "
+         f"batch {T2_BATCH})")
+
+    # compute-only anchor: the autoregressive decode itself (the dominant,
+    # sequential cost), dispatched and blocked on device
+    t2_tokens = [t2.model.tokenize(t) for t in t2_lines]
+    t2_batches = [t2_tokens[k: k + T2_BATCH]
+                  for k in range(0, len(t2_tokens), T2_BATCH)]
+
+    def t2_anchor():
+        outs = [t2.model._dispatch_infer(b, 0, pad_to=T2_BATCH)[0]
+                for b in t2_batches]
+        for o in outs:
+            o["mel_postnet"].block_until_ready()
+
+    t2_anchor()  # warmup
+    a_stats, _ = timed(t2_anchor)
+    detail["t2_decode_compute_only_rtf"] = round(
+        total / sr / a_stats["best_s"], 2)
+    detail["t2_decode_compute_only_stats"] = a_stats
 
     # ---- config 4: multispeaker FastPitch + Vocos backend ----------------
     from tts_arabic_tpu.models.fastpitch import FastPitchConfig
@@ -178,9 +276,17 @@ def main():
         return sum(len(w) for w in waves)
 
     total = run_ms()  # warmup
-    elapsed, total = best_of(run_ms)
-    note("rtf_fastpitch_ms_vocos", total / sr / elapsed,
+    stats, total = timed(run_ms)
+    note("rtf_fastpitch_ms_vocos", total / sr / stats["best_s"], stats,
          "(speaker_id=2, pitch_mul=1.05, pitch_add=8.0)")
+
+    ms_ids = batch_ids(ms, lines, batch_size)
+    a_stats, _ = timed(lambda: fp_anchor(ms, ms_ids, batch_size,
+                                         denoise=0.003, speaker_id=2,
+                                         pitch_mul=1.05, pitch_add=8.0))
+    detail["ms_vocos_compute_only_rtf"] = round(
+        total / sr / a_stats["best_s"], 2)
+    detail["ms_vocos_compute_only_stats"] = a_stats
 
     # ---- config 5: full frontend (vowelizer -> batched synthesis) --------
     label = re.compile(r'"[^"]+"\s+"(?P<text>[^"]+)"')
@@ -196,12 +302,56 @@ def main():
         return sum(len(w) for w in waves)
 
     total = run_front()  # warmup
-    elapsed, total = best_of(run_front)
-    note("rtf_full_frontend_vowelizer", total / sr / elapsed,
+    stats, total = timed(run_front)
+    note("rtf_full_frontend_vowelizer", total / sr / stats["best_s"], stats,
          f"({len(arab)} Arabic sentences, Shakkala in the loop)")
 
-    detail["platform"] = jax.devices()[0].platform
-    detail["device_kind"] = getattr(jax.devices()[0], "device_kind", "?")
+    # anchor excludes the host-side diacritizer decode (pre-tokenized):
+    # isolates the same device path as the headline on Arabic-length texts
+    fa_ids = batch_ids(fa, arab, batch_size, vowelizer="shakkala")
+    a_stats, _ = timed(lambda: fp_anchor(fa, fa_ids, batch_size))
+    detail["frontend_compute_only_rtf"] = round(
+        total / sr / a_stats["best_s"], 2)
+    detail["frontend_compute_only_stats"] = a_stats
+
+    # ---- streaming: steady-state time-to-first-audio ---------------------
+    # (VERDICT r2 #4; serving headline metric alongside RTF)
+    stream_text = max(lines, key=len)
+
+    def first_chunk_latency(make_gen, reps=REPS):
+        list(make_gen())  # warmup: compile every window/segment signature
+        lats = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            gen = make_gen()
+            chunk = next(gen)
+            lats.append(time.perf_counter() - t0)
+            for _ in gen:  # drain so the next rep starts clean
+                pass
+        lats.sort()
+        return {"best_ms": round(lats[0] * 1e3, 1),
+                "median_ms": round(lats[len(lats) // 2] * 1e3, 1),
+                "chunk_sec": round(len(chunk) / sr, 3)}
+
+    fp_lat = first_chunk_latency(
+        lambda: pipe.stream(stream_text, chunk_frames=128, denoise=0.005))
+    detail["stream_first_chunk_fastpitch"] = fp_lat
+    print(f"# stream_first_chunk_fastpitch: {fp_lat['median_ms']:.0f} ms "
+          f"median ({fp_lat['chunk_sec']:.2f}s audio/chunk)",
+          file=sys.stderr)
+
+    t2s = Tacotron2Wave(seed=0, arabic_in=False, compute_dtype=jnp.bfloat16)
+    t2s.model.decoder_max_step = T2_STEPS
+    g2 = t2s.model.variables["params"]["gate_layer"]
+    g2["bias"] = g2["bias"] - 10.0
+    t2_lat = first_chunk_latency(
+        lambda: t2s.stream(stream_text, chunk_frames=96, denoise=0.005))
+    detail["stream_first_chunk_tacotron2"] = t2_lat
+    print(f"# stream_first_chunk_tacotron2: {t2_lat['median_ms']:.0f} ms "
+          f"median ({t2_lat['chunk_sec']:.2f}s audio/chunk)",
+          file=sys.stderr)
+
+    detail["provenance"] = provenance()
     (ROOT / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
 
     result = {

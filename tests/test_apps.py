@@ -143,3 +143,51 @@ def test_download_manifest(capsys):
     main([])
     out = capsys.readouterr().out
     assert "fastpitch_ar_adv.pth" in out and "shakkala" in out
+
+
+def test_download_verify_offline_skips_clean(tmp_path):
+    """--verify with nothing present and no fetcher: every artifact skips,
+    exit code 0 (the documented offline behavior)."""
+    from tts_arabic_tpu.apps import download
+    lines = []
+    rc = download.run_verify(tmp_path, list(download.FILES), fetcher=None,
+                             out=lines.append)
+    assert rc == 0
+    assert sum("skipped" in l for l in lines) == len(download.FILES)
+
+
+def test_download_verify_with_fetcher(tmp_path):
+    """--verify with a (monkeypatched) fetcher: the artifact is fetched,
+    imported, and one sentence synthesized; corrupt artifacts FAIL and flip
+    the exit code."""
+    import torch
+
+    from test_torch_import_layouts import _fastpitch_ckpt
+    from tts_arabic_tpu.apps import download
+
+    src, _ = _fastpitch_ckpt(tmp_path, "src_fastpitch.pth")
+
+    fetched = []
+
+    def fetcher(url, dest):
+        assert url == download.FILES["fastpitch_ar_mse.pth"]["url"]
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        dest.write_bytes(src.read_bytes())
+        fetched.append(dest)
+
+    lines = []
+    rc = download.run_verify(tmp_path, ["fastpitch_ar_mse.pth"],
+                             fetcher=fetcher, out=lines.append)
+    assert rc == 0 and len(fetched) == 1
+    ok_line = next(l for l in lines if "fastpitch_ar_mse" in l)
+    assert "OK" in ok_line and "sha256" in ok_line and "mel 80x" in ok_line
+
+    # corrupt artifact -> FAIL, nonzero exit
+    bad = tmp_path / download.FILES["tacotron2_ar_mse.pth"]["path"]
+    bad.parent.mkdir(parents=True, exist_ok=True)
+    torch.save({"model": {"nonsense.weight": torch.zeros(2)}}, bad)
+    lines = []
+    rc = download.run_verify(tmp_path, ["tacotron2_ar_mse.pth"],
+                             fetcher=None, out=lines.append)
+    assert rc == 1
+    assert any("FAIL" in l for l in lines)

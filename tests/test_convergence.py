@@ -4,6 +4,7 @@ smoke checks in test_train_steps.py). The reference has no equivalent —
 its only training validation is a human watching TensorBoard (SURVEY.md §4).
 """
 import numpy as np
+import pytest
 
 import jax
 
@@ -128,27 +129,89 @@ def _assert_converging(curve, ratio):
     assert diffs.max() < 0.25 * head, curve
 
 
-def test_fastpitch_multi_epoch_corpus_convergence(tmp_path):
+def _mean_alignment_diag(eval_step, state, batches):
+    """Mean alignment-health scalars over `batches` via a jitted eval step
+    (the same `attn_*` keys the trainers log per validation epoch)."""
+    ev = jax.jit(eval_step)
+    keys = ("attn_diag_mass", "attn_peak_drift", "attn_coverage")
+    vals = {k: [] for k in keys}
+    for b in batches:
+        meta, _ = ev(state, b, jax.random.PRNGKey(0))
+        for k in keys:
+            vals[k].append(float(meta[k]))
+    return {k: float(np.mean(v)) for k, v in vals.items()}
+
+
+# healthy-alignment gate for the FastPitch ConvAttention+prior stack
+# (measured healthy: diag 0.95, drift 0.11, coverage 0.69-1.0; deliberately
+# broken attention scores diag 0.57 / coverage 0.21 — see the negative test)
+def _assert_fp_alignment_healthy(diag):
+    assert diag["attn_diag_mass"] >= 0.75, diag
+    assert diag["attn_peak_drift"] <= 0.5, diag
+    assert diag["attn_coverage"] >= 0.5, diag
+
+
+def _fp_corpus_batches(tmp_path):
     from tts_arabic_tpu.data import ArabDatasetFastPitch, collate_fastpitch
 
     txt, wavs = _build_corpus(tmp_path)
     ds = ArabDatasetFastPitch(txt, wavs, cache=True)
     items = [ds[i] for i in range(len(ds))]
-    batches = [
+    return [
         {k: jnp.asarray(v)
          for k, v in collate_fastpitch(items[k: k + 2]).items()}
         for k in range(0, len(items), 2)
     ]
+
+
+def test_fastpitch_multi_epoch_corpus_convergence(tmp_path):
+    from tts_arabic_tpu.train.steps import make_fastpitch_eval_step
+
+    batches = _fp_corpus_batches(tmp_path)
     model, _, _, _, state0, _ = _init_fp_state(adv=False)
     tx = make_optimizer(2e-3)
     state = TrainState(params=state0.params, opt_state=tx.init(state0.params),
                        step=jnp.asarray(0))
     step = jax.jit(make_fastpitch_train_step(model, tx, None, None))
-    _, curve = _epoch_curve(step, state, batches, 25, "mel_loss")
+    state, curve = _epoch_curve(step, state, batches, 25, "mel_loss")
     _assert_converging(curve, ratio=0.6)
+    # alignment never degenerates while the loss converges (loss curves
+    # alone cannot see attention collapse)
+    diag = _mean_alignment_diag(make_fastpitch_eval_step(model), state,
+                                batches)
+    _assert_fp_alignment_healthy(diag)
 
 
-def test_tacotron_multi_epoch_corpus_convergence(tmp_path):
+def test_fastpitch_alignment_gate_detects_broken_attention(tmp_path):
+    """Negative control: deliberately wreck ConvAttention (projection
+    weights scaled so the L2 scores drown the beta-binomial prior) and the
+    alignment gate must trip — proving the convergence tests would fail on
+    real attention collapse, which their loss assertions cannot see."""
+    import copy
+
+    from tts_arabic_tpu.train.steps import make_fastpitch_eval_step
+
+    batches = _fp_corpus_batches(tmp_path)
+    model, _, _, _, state0, _ = _init_fp_state(adv=False)
+    diag = _mean_alignment_diag(make_fastpitch_eval_step(model), state0,
+                                batches)
+    _assert_fp_alignment_healthy(diag)  # healthy init passes
+
+    params = copy.deepcopy(jax.device_get(state0.params))
+    for name in ("key_conv2", "query_conv3"):
+        params["attention"][name]["kernel"] = (
+            params["attention"][name]["kernel"] * 300.0)
+    broken = state0.replace(params=jax.tree.map(jnp.asarray, params))
+    diag_b = _mean_alignment_diag(make_fastpitch_eval_step(model), broken,
+                                  batches)
+    with pytest.raises(AssertionError):
+        _assert_fp_alignment_healthy(diag_b)
+    # and specifically: collapse is visible in both mass and coverage
+    assert diag_b["attn_diag_mass"] < 0.7
+    assert diag_b["attn_coverage"] < 0.35
+
+
+def _t2_corpus_state(tmp_path):
     from tts_arabic_tpu.data import ArabDataset, collate_tacotron
 
     txt, wavs = _build_corpus(tmp_path)
@@ -169,6 +232,36 @@ def test_tacotron_multi_epoch_corpus_convergence(tmp_path):
                        opt_state=tx.init(variables["params"]),
                        step=jnp.asarray(0),
                        extra=variables.get("batch_stats"))
+    return model, tx, state, batches
+
+
+def test_tacotron_multi_epoch_corpus_convergence(tmp_path):
+    from tts_arabic_tpu.train.steps import make_tacotron_eval_step
+
+    model, tx, state, batches = _t2_corpus_state(tmp_path)
     step = jax.jit(make_tacotron_train_step(model, tx, None, None))
-    _, curve = _epoch_curve(step, state, batches, 25, "loss")
+    state, curve = _epoch_curve(step, state, batches, 25, "loss")
     _assert_converging(curve, ratio=0.7)
+    # location-sensitive attention must keep moving across tokens while the
+    # loss converges: collapsed attention (one token absorbs every frame)
+    # scores coverage ~0.11 on this corpus — see the negative control
+    diag = _mean_alignment_diag(make_tacotron_eval_step(model), state,
+                                batches)
+    assert diag["attn_coverage"] >= 0.2, diag
+
+
+def test_tacotron_alignment_gate_detects_collapse(tmp_path):
+    """Negative control: zero the location-sensitive attention score head
+    (`v`) — attention goes uniform, its argmax freezes on one token — and
+    the coverage gate must trip."""
+    import copy
+
+    from tts_arabic_tpu.train.steps import make_tacotron_eval_step
+
+    model, _, state, batches = _t2_corpus_state(tmp_path)
+    params = copy.deepcopy(jax.device_get(state.params))
+    params["v"]["kernel"] = params["v"]["kernel"] * 0.0
+    broken = state.replace(params=jax.tree.map(jnp.asarray, params))
+    diag = _mean_alignment_diag(make_tacotron_eval_step(model), broken,
+                                batches)
+    assert diag["attn_coverage"] < 0.2, diag

@@ -191,6 +191,93 @@ def test_pyin_octave_stability():
     assert np.sum(np.abs(np.diff(np.log2(vy))) > 0.5) >= 2  # yin DOES hop
 
 
+# --- formant-synthesized pseudo-speech (VERDICT r2 #9): the synthetic-tone
+# gates above never touch speech-like structure; this fixture has a glottal
+# pulse train through formant resonators with jitter/shimmer, a breathy
+# voiced stretch, a quiet voiced tail, unvoiced fricatives and silence,
+# with exact ground-truth f0/voicing tracks --------------------------------
+
+def _formant_voiced(rng, sr, n, f0_start, f0_end, jitter=0.006, shimmer=0.08,
+                    breath=0.03,
+                    formants=((660, 90), (1200, 110), (2600, 140))):
+    from scipy.signal import lfilter
+    f0t = np.linspace(f0_start, f0_end, n)
+    j = lfilter([1.0], [1.0, -0.995], rng.normal(0, 1.0, n))
+    j = j / (np.abs(j).max() + 1e-9)
+    ph = 2 * np.pi * np.cumsum(f0t * (1 + jitter * j)) / sr
+    imp = (np.diff(np.floor(ph / (2 * np.pi)), prepend=0.0) > 0).astype(float)
+    amp = 1 + shimmer * lfilter([1.0], [1.0, -0.9], rng.normal(0, 1.0, n))
+    out = imp * amp + breath * rng.normal(0, 0.02, n)
+    for fc, bw in formants:
+        r = np.exp(-np.pi * bw / sr)
+        th = 2 * np.pi * fc / sr
+        out = lfilter([1 - r], [1, -2 * r * np.cos(th), r * r], out)
+    return (out / (np.abs(out).max() + 1e-9)).astype(np.float32), f0t
+
+
+def _pseudo_speech(sr=22050, hop=256, seed=1):
+    from scipy.signal import lfilter
+    rng = np.random.default_rng(seed)
+    segs, truth = [], []
+
+    def voiced(dur, a, b, amp=1.0, **kw):
+        x, t = _formant_voiced(rng, sr, int(dur * sr), a, b, **kw)
+        segs.append(amp * x)
+        truth.append(t)
+
+    def unvoiced(dur, color=0.9, level=0.25):
+        n = int(dur * sr)
+        x = lfilter([1 - color], [1, -color], rng.normal(0, 1.0, n))
+        segs.append((level * x / (np.abs(x).max() + 1e-9)).astype(np.float32))
+        truth.append(np.zeros(n))
+
+    voiced(0.5, 120, 92)                      # modal vowel, falling contour
+    unvoiced(0.22)                            # fricative
+    voiced(0.5, 98, 138, breath=1.1, shimmer=0.14)   # breathy voice
+    segs.append(np.zeros(int(0.2 * sr), np.float32))  # silence
+    truth.append(np.zeros(int(0.2 * sr)))
+    # octave bait: first formant parked on the 2nd harmonic
+    voiced(0.45, 155, 112, formants=((260, 60), (1100, 110), (2500, 140)))
+    unvoiced(0.15, color=0.7, level=0.18)
+    voiced(0.35, 105, 125, amp=0.2, breath=0.5)      # quiet tail
+    x = np.concatenate(segs)
+    t = np.concatenate(truth)
+    # estimate_f0 frames are centered at k*hop (center padding)
+    frames = np.arange(1 + len(x) // hop) * hop
+    return x, t[np.clip(frames, 0, len(t) - 1)]
+
+
+def _f0_scores(f0, truth):
+    n = min(len(f0), len(truth))
+    f0, truth = f0[:n], truth[:n]
+    pred_v, true_v = f0 > 0, truth > 0
+    tp = (pred_v & true_v).sum()
+    f1 = 2 * tp / (2 * tp + (pred_v & ~true_v).sum()
+                   + (~pred_v & true_v).sum())
+    both = pred_v & true_v
+    cents = np.abs(1200 * np.log2(f0[both] / truth[both]))
+    return float(f1), float(np.median(cents))
+
+
+def test_pyin_pseudo_speech_accuracy():
+    """pyin on pseudo-speech: voicing F1 >= 0.95, median error < 20 cents
+    (the creak/breath/subharmonic territory the pure-tone gates miss)."""
+    sr = 22050
+    x, truth = _pseudo_speech(sr)
+    f1, med_cents = _f0_scores(estimate_f0(x, sr, method="pyin"), truth)
+    assert f1 >= 0.95, f1
+    assert med_cents < 20.0, med_cents
+
+
+def test_yin_fails_pseudo_speech_where_pyin_passes():
+    """Single-threshold YIN drops breathy/quiet voiced frames that pyin's
+    multi-threshold sweep keeps — the fixture discriminates the methods."""
+    sr = 22050
+    x, truth = _pseudo_speech(sr)
+    f1_yin, _ = _f0_scores(estimate_f0(x, sr, method="yin"), truth)
+    assert f1_yin < 0.92, f1_yin
+
+
 def test_pyin_voicing_f1_composite():
     """tone | noise | tone | silence: voicing decision F1 >= 0.95."""
     sr, seg = 22050, 22050 // 2

@@ -173,3 +173,74 @@ def test_chip_peak_flops_table():
         device_kind = "Quantum9000"
 
     assert chip_peak_flops(Unknown()) is None
+
+
+# --- attention-alignment diagnostics (eval/alignment.py) --------------------
+
+def _diag_attn(B=2, T_mel=120, T_txt=32, jitter=0.0, seed=0):
+    """Soft attention concentrated on the ideal diagonal (+-jitter tokens)."""
+    rng = np.random.default_rng(seed)
+    attn = np.zeros((B, T_mel, T_txt), np.float32)
+    for b in range(B):
+        for t in range(T_mel):
+            j = int((t + 0.5) * T_txt / T_mel)
+            if jitter:
+                j += rng.integers(-jitter, jitter + 1)
+            j = np.clip(j, 0, T_txt - 1)
+            attn[b, t, j] = 1.0
+    return attn
+
+
+def test_alignment_diagnostics_diagonal_vs_uniform_vs_collapsed():
+    from tts_arabic_tpu.eval import alignment_diagnostics
+
+    B, T_mel, T_txt = 2, 120, 32
+    lens = np.full(B, T_mel, np.int32), np.full(B, T_txt, np.int32)
+
+    d = {k: float(v) for k, v in alignment_diagnostics(
+        _diag_attn(), *lens).items()}
+    assert d["attn_diag_mass"] > 0.95
+    assert d["attn_peak_drift"] < 0.1
+    assert d["attn_coverage"] > 0.95
+
+    uniform = np.full((B, T_mel, T_txt), 1.0 / T_txt, np.float32)
+    u = {k: float(v) for k, v in alignment_diagnostics(
+        uniform, *lens).items()}
+    assert u["attn_diag_mass"] < 0.45  # ~2*band/T_txt
+    assert u["attn_coverage"] < 0.1    # argmax frozen on token 0
+
+    collapsed = np.zeros((B, T_mel, T_txt), np.float32)
+    collapsed[:, :, 5] = 1.0
+    c = {k: float(v) for k, v in alignment_diagnostics(
+        collapsed, *lens).items()}
+    # token 5 stays inside the diagonal band for the first ~30% of frames;
+    # coverage is the collapse detector
+    assert c["attn_diag_mass"] < 0.35
+    assert c["attn_coverage"] < 0.1
+
+    # wandering attention: diagonal peaks shuffled in time -> huge drift
+    wander = _diag_attn()[:, np.random.default_rng(0).permutation(T_mel)]
+    w = {k: float(v) for k, v in alignment_diagnostics(
+        wander, *lens).items()}
+    assert w["attn_peak_drift"] > 2.0
+
+
+def test_alignment_diagnostics_masks_padding():
+    """Padded frames/tokens must not affect the scores: a clean diagonal
+    over the valid region scores the same with or without garbage padding."""
+    from tts_arabic_tpu.eval import alignment_diagnostics
+
+    attn = _diag_attn(B=1, T_mel=80, T_txt=20)
+    mel_lens = np.asarray([80], np.int32)
+    tok_lens = np.asarray([20], np.int32)
+    clean = {k: float(v) for k, v in alignment_diagnostics(
+        attn, mel_lens, tok_lens).items()}
+
+    padded = np.zeros((1, 120, 32), np.float32)
+    padded[:, :80, :20] = attn
+    padded[:, 80:, :] = 1.0 / 32   # garbage beyond mel_len
+    padded[:, :80, 20:] = 0.7      # garbage beyond token_len
+    pad = {k: float(v) for k, v in alignment_diagnostics(
+        padded, mel_lens, tok_lens).items()}
+    for k in clean:
+        np.testing.assert_allclose(pad[k], clean[k], atol=1e-6, err_msg=k)

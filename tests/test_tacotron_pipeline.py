@@ -107,6 +107,26 @@ def test_stream_bf16(pipe):
     assert w.dtype == np.float32 and np.isfinite(w).all() and len(w) > 0
 
 
+def test_fused_list_path_matches_host_path(pipe):
+    """tts(list) uses the fused device program (decode -> in-graph EOS
+    truncation -> vocode, waves-only D2H); it must reproduce the host
+    per-utterance path (numpy truncate_mel + separate vocode) to float
+    tolerance, including the postprocess truncation lengths."""
+    texts = [ARABIC, "صِفر", "كِتاب"]
+    host = [pipe.tts_single(t, denoise=0.004) for t in texts]
+    fused = pipe.tts(texts, denoise=0.004, batch_size=2)
+    assert len(fused) == len(host)
+    for h, f in zip(host, fused):
+        assert f.shape == h.shape  # same truncation decisions
+        np.testing.assert_allclose(f, h, atol=2e-4, rtol=0)
+
+    # int16 device conversion: same waves, PCM-quantized
+    pcm = pipe.tts(texts, denoise=0.004, batch_size=2, out_int16=True)
+    for h, p in zip(host, pcm):
+        assert p.dtype == np.int16 and p.shape == h.shape
+        np.testing.assert_allclose(p / 32767.0, h, atol=2e-4, rtol=0)
+
+
 def test_needs_postprocessing_rules():
     assert not needs_postprocessing("a")
     assert not needs_postprocessing("m")

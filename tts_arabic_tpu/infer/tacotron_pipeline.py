@@ -303,13 +303,118 @@ class Tacotron2Wave:
             lambda v: denoiser_mod.compute_bias_spec(self.vocoder.apply, v)
         )(self.vocoder_vars)
         self._vocode_jit = jax.jit(self._vocode_fn,
-                                   static_argnames=("use_denoiser",))
+                                   static_argnames=("use_denoiser",
+                                                    "out_int16"))
 
     @property
     def sample_rate(self):
         return self.vocoder_config.sampling_rate
 
-    def _vocode_fn(self, voc_vars, bias_spec, mel, strength, *, use_denoiser):
+    # -- fused device path: decode -> truncate -> vocode in ONE program ------
+    #
+    # The split path fetches f32 mel_postnet AND alignments to the host,
+    # postprocesses there, then re-uploads mels to vocode — ~50 MB of
+    # tunnel traffic per 32-utterance batch, while the decode itself costs
+    # ~70 ms on a v5e (BENCH_DETAIL.json t2_decode_compute_only). Fusing
+    # keeps everything on device and ships ONLY int16 waves (~4x less
+    # data, no H2D round trip). The EOS truncation (reference
+    # networks.py:44-49) is computed in-graph: per-sample gather of the
+    # end-marker token's attention column, 80%-of-peak threshold, replicate
+    # pad. Used by tts() whenever speed and return_mel are not requested.
+
+    def _newlen_fn(self, alignments, mel_lens, trunc_idx, do_post):
+        """In-graph EOS truncation decision (reference truncate_mel,
+        networks.py:44-49): first frame where the end-marker token's
+        attention reaches 80% of its peak. Returns (n_end, new_len)."""
+        S = alignments.shape[1]
+        col = jnp.take_along_axis(
+            alignments, trunc_idx[:, None, None], axis=2)[..., 0]
+        colv = jnp.where(jnp.arange(S)[None, :] < mel_lens[:, None],
+                         col, -jnp.inf)
+        hit = colv >= 0.8 * jnp.max(colv, axis=1, keepdims=True)
+        n_end = jnp.where(jnp.any(hit, axis=1),
+                          jnp.argmax(hit, axis=1), mel_lens)
+        n_end = jnp.maximum(n_end, 1)
+        return n_end, jnp.where(do_post, n_end + 3, mel_lens)
+
+    def _assemble_fn(self, mel, n_end, new_len, do_post, *, bucket):
+        """Build the bucket-length vocoder input on device — exactly the
+        buffer the host path stacks (truncate + 3 replicate frames +
+        LOG_MEL_PAD), so the downstream vocode program is the same one the
+        host path runs. Pure data movement: bitwise-identical values."""
+        B, S, n_mels = mel.shape
+        t = jnp.arange(bucket)
+        rep = do_post[:, None] & (t[None, :] >= n_end[:, None])
+        idx = jnp.where(rep, (n_end - 1)[:, None],
+                        jnp.minimum(t, S - 1)[None, :])
+        out = jnp.take_along_axis(mel, idx[:, :, None], axis=1)
+        return jnp.where(t[None, :, None] < new_len[:, None, None], out,
+                         jnp.asarray(LOG_MEL_PAD, mel.dtype))
+
+    def _dispatch_fused(self, tokens_list, do_post, speaker_id, denoise,
+                        pad_to=None, rng=None, out_int16=False):
+        """Token lists -> (decode handles, n_end, new_len, post, inverse).
+        ASYNC — the decode stays on device; only new_len is later fetched."""
+        if not hasattr(self, "_newlen_jit"):
+            self._newlen_jit = jax.jit(self._newlen_fn)
+            self._assemble_jit = jax.jit(self._assemble_fn,
+                                         static_argnames=("bucket",))
+        m = self.model
+        n_real = len(tokens_list)
+        ids_list = [np.asarray(text_frontend.tokens_to_ids(t, m.phon_to_id),
+                               np.int32) for t in tokens_list]
+        trunc = np.asarray([len(t) - N_EOS - 1 for t in tokens_list],
+                           np.int32)
+        post = np.asarray(do_post, bool)
+        lens = np.asarray([len(x) for x in ids_list])
+        order = np.argsort(-lens)
+        ids_sorted = [ids_list[i] for i in order]
+        lens_sorted, trunc, post = lens[order], trunc[order], post[order]
+        if pad_to is not None and n_real < pad_to:
+            pad = pad_to - n_real
+            ids_sorted += [np.zeros(1, np.int32)] * pad
+            lens_sorted = np.concatenate([lens_sorted, np.ones(pad, np.int64)])
+            trunc = np.concatenate([trunc, np.zeros(pad, np.int32)])
+            post = np.concatenate([post, np.zeros(pad, bool)])
+        padded = _pad_ids(ids_sorted, _round_up(int(lens.max()), TEXT_BUCKET))
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        out = m._infer_jit(
+            m.variables, jnp.asarray(padded),
+            jnp.asarray(lens_sorted, jnp.int32),
+            jnp.full((padded.shape[0],), speaker_id, jnp.int32), rng,
+            max_steps=m.decoder_max_step)
+        n_end, new_len = self._newlen_jit(
+            out["alignments"], out["mel_lens"],
+            jnp.asarray(np.maximum(trunc, 0)), jnp.asarray(post))
+        return (out, n_end, new_len, jnp.asarray(post), denoise, out_int16,
+                np.argsort(order))
+
+    # crop granularity (frames) for the device-side wave trim before D2H
+    _CROP_FRAMES = 64
+
+    def _collect_fused(self, handles):
+        """One tiny new_len fetch picks the mel bucket (the same
+        _pick_mel_bucket the host path uses), then assemble+vocode run on
+        device and only the cropped wave crosses D2H."""
+        out, n_end, new_len, post, denoise, out_int16, inverse = handles
+        new_lens_np = np.asarray(new_len)
+        bucket = _pick_mel_bucket(max(int(new_lens_np.max()), 1))
+        mel_proc = self._assemble_jit(out["mel_postnet"], n_end, new_len,
+                                      post, bucket=bucket)
+        wave = self._vocode_jit(
+            self.vocoder_vars, self.bias_spec, mel_proc,
+            jnp.float32(denoise), use_denoiser=denoise > 0,
+            out_int16=out_int16)
+        hop = self.vocoder_config.hop_length
+        frames = _round_up(int(new_lens_np.max()), self._CROP_FRAMES)
+        if frames * hop < wave.shape[1]:
+            wave = wave[:, : frames * hop]
+        wave = np.asarray(wave)
+        return [wave[i, : new_lens_np[i] * hop] for i in inverse]
+
+    def _vocode_fn(self, voc_vars, bias_spec, mel, strength, *, use_denoiser,
+                   out_int16=False):
         dt = self.model.compute_dtype
         if dt is not None:  # bf16 vocoding, matching the FastPitch wave jit
             voc_vars, mel = cast_floating(voc_vars, dt), mel.astype(dt)
@@ -318,6 +423,9 @@ class Tacotron2Wave:
         wave = wave.astype(jnp.float32)
         if use_denoiser:
             wave = denoiser_mod.denoise(wave, bias_spec, strength)
+        if out_int16:
+            # device-side PCM conversion halves the D2H transfer
+            wave = (jnp.clip(wave, -1.0, 1.0) * 32767.0).astype(jnp.int16)
         return wave
 
     def _dispatch_vocode(self, mels, denoise):
@@ -490,9 +598,11 @@ class Tacotron2Wave:
             speed: Optional[float] = None, denoise: float = 0.005,
             speaker_id: int = 0, batch_size: int = 8,
             vowelizer: Optional[str] = None, postprocess_mel: bool = True,
-            return_mel: bool = False):
+            return_mel: bool = False, out_int16: bool = False):
         """Synthesize speech (API parity with reference `Tacotron2Wave.tts`,
-        networks.py:347-426)."""
+        networks.py:347-426). out_int16 converts to 16-bit PCM ON DEVICE,
+        halving the D2H transfer (list path only, like
+        `FastPitch2Wave.tts`)."""
         kw = dict(speed=speed, denoise=denoise, speaker_id=speaker_id,
                   vowelizer=vowelizer, postprocess_mel=postprocess_mel,
                   return_mel=return_mel)
@@ -513,6 +623,31 @@ class Tacotron2Wave:
         batches = [order[k: k + bs] for k in range(0, len(order), bs)]
         waves = [None] * len(text_input)
         mels = [None] * len(text_input)
+
+        if speed is None and not return_mel:
+            # fused device path: decode+truncate+vocode in one program per
+            # batch; waves are the only D2H traffic (see _fused_fn)
+            in_flight = []
+
+            def _collect_f(item):
+                idxs, handles = item
+                batch_waves = self._collect_fused(handles)
+                for j, i in enumerate(idxs):
+                    waves[i] = batch_waves[j]
+            for idxs in batches:
+                tokens_list, do_post = m._prepare_tokens(
+                    [text_input[i] for i in idxs], vowelizer,
+                    postprocess_mel)
+                handles = self._dispatch_fused(tokens_list, do_post,
+                                               speaker_id, denoise,
+                                               pad_to=bs,
+                                               out_int16=out_int16)
+                in_flight.append((idxs, handles))
+                if len(in_flight) > WINDOW:
+                    _collect_f(in_flight.pop(0))
+            for item in in_flight:
+                _collect_f(item)
+            return waves
 
         def _collect(item):
             idxs, (tokens_list, do_post), (out, _, inverse) = item

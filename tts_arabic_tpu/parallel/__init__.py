@@ -1,10 +1,15 @@
-"""Parallelism: mesh construction, sharding policy, DP helpers."""
+"""Parallelism: mesh construction, sharding policy, DP helpers
+(single-process ICI and multi-process DCN)."""
 from .mesh import (DATA_AXIS, batch_sharded, data_parallel_jit,
-                   local_batch_size, make_mesh, mesh_context,
-                   pad_batch_to_devices, replicate, replicated, shard_batch)
+                   init_multiprocess, local_batch_size, make_mesh,
+                   make_multiprocess_mesh, mesh_context,
+                   pad_batch_to_devices, process_local_rows, replicate,
+                   replicated, shard_batch, shard_batch_from_process_local)
 
 __all__ = [
-    "DATA_AXIS", "batch_sharded", "data_parallel_jit", "local_batch_size",
-    "make_mesh", "mesh_context", "pad_batch_to_devices", "replicate",
-    "replicated", "shard_batch",
+    "DATA_AXIS", "batch_sharded", "data_parallel_jit", "init_multiprocess",
+    "local_batch_size", "make_mesh", "make_multiprocess_mesh",
+    "mesh_context", "pad_batch_to_devices", "process_local_rows",
+    "replicate", "replicated", "shard_batch",
+    "shard_batch_from_process_local",
 ]

@@ -68,6 +68,65 @@ def mesh_context(mesh: Mesh):
         yield mesh
 
 
+# --- multi-process (multi-host / DCN) path ---------------------------------
+#
+# A TPU pod slice spans several hosts: each process sees only its local
+# chips, and cross-host traffic rides DCN while intra-slice traffic rides
+# ICI. The reference has nothing here (single GPU); the TPU-native design
+# is: initialize the jax distributed runtime once per process, build ONE
+# global mesh over every process's devices, keep params replicated, and
+# feed each process only its local batch rows
+# (`jax.make_array_from_process_local_data` assembles the global sharded
+# array without any host gathering). The same `data_parallel_jit` step then
+# runs unmodified — XLA routes the gradient psum over ICI within a host and
+# DCN across hosts.
+
+def init_multiprocess(coordinator_address: str | None = None,
+                      num_processes: int | None = None,
+                      process_id: int | None = None) -> None:
+    """Initialize the cross-process runtime (call once per process, before
+    any other jax call). On Cloud TPU pods all arguments are auto-detected
+    from the environment; pass them explicitly for CPU/GPU clusters or
+    tests (e.g. coordinator '127.0.0.1:<port>')."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_multiprocess_mesh() -> Mesh:
+    """Global 1-D data-parallel mesh over EVERY process's devices (requires
+    `init_multiprocess` first). Devices are ordered process-major, so
+    contiguous batch rows land on one host and the batch axis crosses DCN
+    only at host boundaries."""
+    devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def process_local_rows(global_batch: int, mesh: Mesh) -> slice:
+    """The slice of global batch rows this process must supply to
+    `shard_batch_from_process_local` (rows are laid out process-major to
+    match `make_multiprocess_mesh`)."""
+    n_proc = jax.process_count()
+    if global_batch % n_proc:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"process count {n_proc}")
+    per = global_batch // n_proc
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)
+
+
+def shard_batch_from_process_local(local_batch, mesh: Mesh):
+    """Multi-host input sharding: each process passes ONLY its local rows
+    (a pytree of [B_local, ...] arrays); returns global jax.Arrays whose
+    leading axis is sharded over the full mesh, with zero cross-host data
+    movement (each host's rows stay on its own chips). Single-process
+    meshes degenerate to `shard_batch`."""
+    sharding = batch_sharded(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), local_batch)
+
+
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     n = mesh.devices.size
     if global_batch % n:

@@ -26,6 +26,7 @@ import optax
 from flax import struct
 
 from ..align import mas_durations
+from ..eval.alignment import alignment_diagnostics
 from ..models.fastpitch import FastPitch
 from ..models.tacotron2 import Tacotron2
 from .gan import (PatchDiscriminator, extract_chunks, feature_match_loss,
@@ -249,6 +250,10 @@ def make_fastpitch_eval_step(model: FastPitch):
         kl = attention_binarization_loss(attn_hard, out["attn_soft"])
         meta["kl_loss"] = kl
         meta["loss"] = loss + kl
+        # alignment-health scalars (the reference only surfaces alignment
+        # as human-inspected TB figures, utils/logging.py:23-40)
+        meta.update(alignment_diagnostics(
+            out["attn_soft"], batch["mel_lens"], batch["token_lens"]))
         artifacts = {"alignment": out["attn_soft"],  # [B, T_mel, T_txt]
                      "mel_pred": out["mel_out"],
                      "mel_tgt": batch["mel_tgt"]}
@@ -270,6 +275,8 @@ def make_tacotron_eval_step(model: Tacotron2):
             mel_out, mel_post, gates, batch["mel_tgt"], batch["gate_tgt"],
             batch["mel_lens"])
         meta["loss"] = loss
+        meta.update(alignment_diagnostics(
+            aligns, batch["mel_lens"], batch["token_lens"]))
         artifacts = {"alignment": aligns, "mel_pred": mel_post,
                      "mel_tgt": batch["mel_tgt"]}
         return meta, artifacts
