@@ -86,6 +86,44 @@ def test_resblock_pallas_packed_matches_flax(C, k, dil, T):
     assert float(np.abs(got - ref).mean()) < 1e-4
 
 
+@pytest.mark.parametrize("C,k,dil,T", [
+    (32, 3, (1, 3, 5), 320),     # P=4
+    (32, 7, (1, 3, 5), 320),
+    (32, 11, (1, 3, 5), 4096),
+    (64, 11, (1, 3, 5), 2500),   # P=2
+    (16, 7, (1, 3, 5), 128),     # P=8
+])
+def test_resblock_packed_xla_matches_flax(C, k, dil, T):
+    """The plain-XLA packed-lane rewrite is numerically EXACT data movement
+    + the same multiplies; only f32 reassociation noise is allowed."""
+    from tts_arabic_tpu.ops.hifigan_pallas import resblock_packed_xla
+
+    rng = jax.random.PRNGKey(3)
+    rb = ResBlock1(C, k, dil)
+    x = jax.random.normal(rng, (2, T, C), jnp.float32)
+    v = rb.init(rng, x)
+    ref = np.asarray(rb.apply(v, x))
+    got = np.asarray(jax.jit(
+        lambda x: resblock_packed_xla(x, v["params"], k, dil))(x))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=0)
+
+
+def test_generator_apply_pallas_packed_xla_strategy():
+    cfg = HiFiGANConfig()
+    gen = Generator(cfg)
+    rng = jax.random.PRNGKey(4)
+    mel = jax.random.normal(rng, (2, 24, 80), jnp.float32) - 5.0
+    v = gen.init(rng, mel)
+    ref = np.asarray(gen.apply(v, mel))
+    got = np.asarray(generator_apply_pallas(v, mel, cfg,
+                                            strategy="packed_xla"))
+    assert got.shape == ref.shape
+    snr = 10 * np.log10(np.mean(ref ** 2) /
+                        (np.mean((ref - got) ** 2) + 1e-20))
+    assert snr > 60.0, snr
+
+
 def test_generator_apply_pallas_matches_flax():
     cfg = HiFiGANConfig()
     gen = Generator(cfg)

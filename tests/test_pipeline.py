@@ -122,3 +122,36 @@ def test_stream_equals_tts_single():
     streamed0 = np.concatenate(list(pipe.stream(text, chunk_frames=48,
                                                 denoise=0.0)))
     np.testing.assert_allclose(streamed0, full0, atol=2e-5)
+
+
+def test_stream_first_chunk_latency_beats_full_synthesis():
+    """Serving regression gate (VERDICT r2 #4): steady-state time to the
+    FIRST streamed chunk must be well under full-utterance synthesis time —
+    the point of streaming. Uses a long utterance so the full path vocodes
+    many chunks while the stream's first chunk vocodes one window."""
+    import time
+
+    from tts_arabic_tpu.infer import FastPitch2Wave
+
+    pipe = FastPitch2Wave(seed=0, arabic_in=False)
+    fc = pipe.model.variables["params"]["duration_predictor"]["fc"]
+    fc["bias"] = fc["bias"] + 2.5
+    text = " ".join(["bisomi {ll~ahi {lr~aHoma`ni {lr~aHiymi"] * 4)
+
+    # warm both paths (compiles excluded from timing)
+    pipe.tts_single(text, denoise=0.004)
+    list(pipe.stream(text, chunk_frames=32, denoise=0.004))
+
+    t0 = time.perf_counter()
+    pipe.tts_single(text, denoise=0.004)
+    full_s = time.perf_counter() - t0
+
+    best_first = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        gen = pipe.stream(text, chunk_frames=32, denoise=0.004)
+        next(gen)
+        best_first = min(best_first, time.perf_counter() - t0)
+        for _ in gen:
+            pass
+    assert best_first < 0.75 * full_s, (best_first, full_s)

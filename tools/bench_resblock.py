@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tts_arabic_tpu.ops.hifigan_pallas import (_resblock_xla, resblock_pallas,
-                                               resblock_pallas_packed)
+                                               resblock_pallas_packed,
+                                               resblock_packed_xla)
 from tts_arabic_tpu.vocoder.hifigan import ResBlock1
 
 
@@ -71,6 +72,7 @@ def main():
             "xla": lambda y: _resblock_xla(y, params, k, dil),
             "unfold": lambda y: resblock_pallas(y, params, k, dil),
             "packed": lambda y: resblock_pallas_packed(y, params, k, dil),
+            "packed_xla": lambda y: resblock_packed_xla(y, params, k, dil),
         }
         print(f"B={B} T={T} C={C} k={k} chain={args.chain} dtype={dt}")
         for name, fn in strategies.items():

@@ -354,7 +354,7 @@ class FastPitch2Wave:
                  vocoder_config=None, vowelizer: Optional[str] = None,
                  arabic_in: bool = True, config=None, seed: int = 0,
                  compute_dtype=None, vocoder_type: str = "hifigan",
-                 mesh=None, mrf_strategy: str = "xla"):
+                 mesh=None, mrf_strategy: str = "auto"):
         """compute_dtype: jnp.bfloat16 runs the decoder+vocoder hot path on
         the MXU's native bf16 (~2x on TPU); weights stay fp32 in memory and
         are cast at trace time; the spectral denoiser stays fp32. None =
@@ -365,13 +365,17 @@ class FastPitch2Wave:
         here it is wired directly into the tts() pipeline (BASELINE.md
         config 4).
 
-        mrf_strategy: HiFi-GAN MRF ResBlock implementation on TPU — "xla"
-        (default: plain flax apply; the measured-best end-to-end, see
-        docs/PERF.md), "auto" (packed-lane Pallas kernel at 32 channels —
-        wins its stage in isolation but is e2e-neutral and costs ~6x
-        warmup in Mosaic compiles), or "unfold"/"packed" to force one
-        kernel everywhere it applies (off-TPU or for non-ResBlock1
-        checkpoints the plain flax apply is always used)."""
+        mrf_strategy: HiFi-GAN MRF ResBlock implementation on TPU —
+        "auto" (default: the packed-lane XLA rewrite at 32 channels,
+        measured 58.1 vs 25.9 TF/s for its stage with no extra warmup —
+        docs/PERF.md; plain flax apply at C >= 64 where XLA's own conv
+        schedule already sustains ~93 TF/s), "xla" (plain flax apply
+        everywhere), "packed_xla" (force the lane-packing rewrite
+        wherever 128 % C == 0), or "unfold"/"packed" (the Mosaic Pallas
+        kernels: benchmark/debug only — "packed" wins its stage but
+        costs ~6x warmup through the remote Mosaic compiler). Off-TPU or
+        for non-ResBlock1 checkpoints the plain flax apply is always
+        used."""
         self.compute_dtype = compute_dtype
         self.vocoder_type = vocoder_type
         self.model = FastPitchTTS(model_sd_path, config=config,

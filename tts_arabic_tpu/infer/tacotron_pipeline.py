@@ -278,7 +278,10 @@ class Tacotron2Wave:
     def __init__(self, model_sd_path=None, vocoder_sd=None,
                  vocoder_config=None, vowelizer: Optional[str] = None,
                  arabic_in: bool = True, config=None, seed: int = 0,
-                 compute_dtype=None):
+                 compute_dtype=None, mrf_strategy: str = "auto"):
+        """mrf_strategy: HiFi-GAN MRF implementation — same knob as
+        `FastPitch2Wave` (docs/PERF.md; "auto" = packed-lane XLA rewrite
+        at 32 channels)."""
         self.model = Tacotron2TTS(model_sd_path, config=config,
                                   arabic_in=arabic_in, vowelizer=vowelizer,
                                   seed=seed, compute_dtype=compute_dtype)
@@ -302,6 +305,14 @@ class Tacotron2Wave:
         self.bias_spec = jax.jit(
             lambda v: denoiser_mod.compute_bias_spec(self.vocoder.apply, v)
         )(self.vocoder_vars)
+        self._voc_apply = self.vocoder.apply
+        if (mrf_strategy != "xla" and self.vocoder_config.resblock == "1"
+                and jax.devices()[0].platform == "tpu"):
+            from ..ops.hifigan_pallas import generator_apply_pallas
+            cfg = self.vocoder_config
+            self._voc_apply = (
+                lambda v, m: generator_apply_pallas(
+                    v, m, cfg, strategy=mrf_strategy))
         self._vocode_jit = jax.jit(self._vocode_fn,
                                    static_argnames=("use_denoiser",
                                                     "out_int16"))
@@ -418,7 +429,7 @@ class Tacotron2Wave:
         dt = self.model.compute_dtype
         if dt is not None:  # bf16 vocoding, matching the FastPitch wave jit
             voc_vars, mel = cast_floating(voc_vars, dt), mel.astype(dt)
-        wave = chunked_vocode(self.vocoder.apply, voc_vars, mel,
+        wave = chunked_vocode(self._voc_apply, voc_vars, mel,
                               pad_value=LOG_MEL_PAD)
         wave = wave.astype(jnp.float32)
         if use_denoiser:
@@ -490,7 +501,7 @@ class Tacotron2Wave:
         idx = jnp.arange(mel_w.shape[1])[None, :, None]
         post = jnp.where(idx < valid, post,
                          jnp.asarray(LOG_MEL_PAD, post.dtype))
-        wave = self.vocoder.apply(voc_vars, post).astype(jnp.float32)
+        wave = self._voc_apply(voc_vars, post).astype(jnp.float32)
         if use_denoiser:
             wave = denoiser_mod.denoise(wave, bias_spec, strength)
         if out_int16:

@@ -199,6 +199,76 @@ def _resblock_xla(x, params, kernel_size: int, dilations: Sequence[int]):
     return x
 
 
+# ---- packed-lane transform at the plain-XLA level (VERDICT r2 #3) ---------
+#
+# The Mosaic packed kernel wins its stage at C=32 (29.2 vs 24.7 TF/s) but
+# costs ~6x warmup through the remote Mosaic compiler. This re-expresses
+# the SAME transform as ordinary XLA ops so it compiles through the normal
+# (cached) XLA path: pack P = 128/C consecutive time steps into the lane
+# dimension — a FREE reshape, [B, T, C] row-major == [B, T/P, P*C] — and
+# turn the dilated conv into one conv over the packed axis whose taps are
+# [P*C, P*C] block matrices. For output step po and conv tap offset
+# delta = (k - (K-1)/2)*d, the contribution reads packed row j + s,
+# sub-row pi, where po + delta = s*P + pi; so packed tap s holds w[k] at
+# block (pi, po) and zeros elsewhere. Zero-padding the packed axis is
+# exactly the dense conv's own SAME zero-padding (m < 0 <=> t + delta < 0),
+# so the rewrite is numerically EXACT, not an approximation. Every
+# leaky-relu/residual between convs also runs on fully occupied lanes.
+# FLOP overhead from the zero blocks: #taps*P/K (1.7x at d=1 up to 5.5x at
+# k=11,d=5) — the measured question is whether full lanes buy that back.
+
+
+def _packed_conv_weights(w, dilation: int, P: int):
+    """w [K, C, C] -> (packed kernel [S, P*C, P*C], s_min). Assembled with
+    XLA ops at trace time (weights are runtime inputs); cost is negligible
+    next to the convs it feeds."""
+    K, C, _ = w.shape
+    half = (K - 1) // 2
+    entries = []
+    for k in range(K):
+        delta = (k - half) * dilation
+        for po in range(P):
+            m = po + delta
+            entries.append((m // P, m % P, po, k))
+    s_min = min(e[0] for e in entries)
+    S = max(e[0] for e in entries) - s_min + 1
+    W = jnp.zeros((S, P * C, P * C), w.dtype)
+    for s, pi, po, k in entries:
+        W = W.at[s - s_min, pi * C: (pi + 1) * C,
+                 po * C: (po + 1) * C].set(w[k])
+    return W, s_min
+
+
+def resblock_packed_xla(x, params, kernel_size: int,
+                        dilations: Sequence[int]):
+    """ResBlock1 with every conv/elementwise op in the packed-lane layout
+    (P*C = 128 lanes). Exact: bitwise data movement + the same multiplies
+    as the dense conv (plus zero blocks)."""
+    B, T, C = x.shape
+    P = 128 // C
+    if P <= 1 or 128 % C or T % P:
+        return _resblock_xla(x, params, kernel_size, dilations)
+    xp = x.reshape(B, T // P, P * C)
+    for di, d in enumerate(dilations):
+        p1, p2 = params[f"conv1_{di}"], params[f"conv2_{di}"]
+        W1, smin1 = _packed_conv_weights(p1["kernel"].astype(x.dtype), d, P)
+        W2, smin2 = _packed_conv_weights(p2["kernel"].astype(x.dtype), 1, P)
+        y = jax.nn.leaky_relu(xp, LRELU_SLOPE)
+        y = jax.lax.conv_general_dilated(
+            y, W1, window_strides=(1,),
+            padding=[(-smin1, smin1 + W1.shape[0] - 1)],
+            dimension_numbers=("NHC", "HIO", "NHC"))
+        y = y + jnp.tile(p1["bias"].astype(x.dtype), P)
+        y = jax.nn.leaky_relu(y, LRELU_SLOPE)
+        y = jax.lax.conv_general_dilated(
+            y, W2, window_strides=(1,),
+            padding=[(-smin2, smin2 + W2.shape[0] - 1)],
+            dimension_numbers=("NHC", "HIO", "NHC"))
+        y = y + jnp.tile(p2["bias"].astype(x.dtype), P)
+        xp = xp + y
+    return xp.reshape(B, T, C)
+
+
 def generator_apply_pallas(variables, mel: jnp.ndarray,
                            config: HiFiGANConfig = HiFiGANConfig(), *,
                            strategy: str = "auto",
@@ -211,8 +281,11 @@ def generator_apply_pallas(variables, mel: jnp.ndarray,
         Pallas kernel at C=32 (29.2 vs XLA's 24.7 TF/s chained) and plain
         XLA at C >= 64, where XLA's own fusion wins (93.4 vs 70-80 TF/s);
         see docs/PERF.md and tools/bench_resblock.py
-      - "xla" | "unfold" | "packed": force one implementation everywhere
-        it applies (benchmark/debug; packed needs 128 % C == 0, C < 128)
+      - "xla" | "unfold" | "packed" | "packed_xla": force one
+        implementation everywhere it applies (benchmark/debug; packed
+        variants need 128 % C == 0, C < 128). "packed_xla" is the same
+        lane-packing transform expressed as plain XLA convs — normal
+        (cached) compile path, no Mosaic warmup.
     """
     assert config.resblock == "1", "pallas path covers ResBlock1 checkpoints"
     p = variables["params"]
@@ -232,12 +305,15 @@ def generator_apply_pallas(variables, mel: jnp.ndarray,
                                          config.resblock_dilation_sizes)):
             rp = p[f"res_{i}_{j}"]
             packed_ok = 128 % ch == 0 and ch < 128
-            if strategy == "packed" and packed_ok or (
-                    strategy == "auto" and ch <= 32 and packed_ok):
+            if strategy == "packed" and packed_ok:
                 y = resblock_pallas_packed(x, rp, rk, rd,
                                            interpret=interpret)
             elif strategy == "unfold":
                 y = resblock_pallas(x, rp, rk, rd, interpret=interpret)
+            elif packed_ok and (strategy == "packed_xla" or (
+                    strategy == "auto" and ch <= 32)):
+                # measured: 58.1 vs 25.9 TF/s at C=32; ties XLA at C=64
+                y = resblock_packed_xla(x, rp, rk, rd)
             else:
                 y = _resblock_xla(x, rp, rk, rd)
             acc = y if acc is None else acc + y
