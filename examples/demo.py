@@ -97,3 +97,17 @@ for i, chunk in enumerate(tts.stream("اَلسَّلامُ عَلَيكُم يَ
     print(f"fastpitch chunk {i}: {len(chunk) / tts.sample_rate:.2f}s")
 for i, chunk in enumerate(taco.stream("صِفر", chunk_frames=64, denoise=0.0)):
     print(f"tacotron2 chunk {i}: {len(chunk) / taco.sample_rate:.2f}s")
+
+# %% audio playback (reference test.py:91-96 / test.ipynb playback cells):
+# plays through the default output device when `sounddevice` is installed
+# (optional dependency, absent in CI); saves to disk either way.
+out_dir = pathlib.Path("samples/demo")
+out_dir.mkdir(parents=True, exist_ok=True)
+save_wav(out_dir / "demo.wav", np.asarray(wave), taco.sample_rate)
+print("saved:", out_dir / "demo.wav")
+try:
+    import sounddevice
+
+    sounddevice.play(np.asarray(wave), taco.sample_rate, blocking=True)
+except Exception as e:  # headless / no audio device / not installed
+    print(f"(playback unavailable: {e})")

@@ -162,3 +162,25 @@ def test_chunked_vocode_paths_agree():
     assert direct.shape == bsplit.shape == tchunk.shape == (B, F * 256)
     np.testing.assert_allclose(bsplit, direct, atol=2e-6, rtol=0)
     np.testing.assert_allclose(tchunk, direct, atol=2e-6, rtol=0)
+
+
+@pytest.mark.parametrize("C_in,C_out,u,k,T", [
+    (64, 32, 2, 4, 96),     # up_3: P=4
+    (128, 64, 2, 4, 50),    # up_2: P=2
+])
+def test_conv_transpose_packed_out_matches_dense(C_in, C_out, u, k, T):
+    from tts_arabic_tpu.ops.hifigan_pallas import conv_transpose_packed_out
+    from tts_arabic_tpu.vocoder.hifigan import conv_transpose_1d
+
+    rng = jax.random.PRNGKey(5)
+    x = jax.random.normal(rng, (2, T, C_in), jnp.float32)
+    kernel = jax.random.normal(jax.random.PRNGKey(6), (k, C_in, C_out),
+                               jnp.float32)
+    bias = jax.random.normal(jax.random.PRNGKey(7), (C_out,), jnp.float32)
+    P = 128 // C_out
+    ref = np.asarray(conv_transpose_1d(x, kernel, bias, u, (k - u) // 2))
+    got = np.asarray(conv_transpose_packed_out(x, kernel, bias, u,
+                                               (k - u) // 2, P))
+    assert got.shape == (2, ref.shape[1] // P, P * C_out)
+    np.testing.assert_allclose(
+        got.reshape(2, -1, C_out), ref, atol=2e-5, rtol=0)

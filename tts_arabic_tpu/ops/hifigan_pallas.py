@@ -239,6 +239,30 @@ def _packed_conv_weights(w, dilation: int, P: int):
     return W, s_min
 
 
+def _resblock_packed_core(xp, params, kernel_size: int,
+                          dilations: Sequence[int], C: int, P: int, dt):
+    """ResBlock1 on an ALREADY-PACKED [B, T/P, P*C] input (see
+    resblock_packed_xla); returns packed output."""
+    for di, d in enumerate(dilations):
+        p1, p2 = params[f"conv1_{di}"], params[f"conv2_{di}"]
+        W1, smin1 = _packed_conv_weights(p1["kernel"].astype(dt), d, P)
+        W2, smin2 = _packed_conv_weights(p2["kernel"].astype(dt), 1, P)
+        y = jax.nn.leaky_relu(xp, LRELU_SLOPE)
+        y = jax.lax.conv_general_dilated(
+            y, W1, window_strides=(1,),
+            padding=[(-smin1, smin1 + W1.shape[0] - 1)],
+            dimension_numbers=("NHC", "HIO", "NHC"))
+        y = y + jnp.tile(p1["bias"].astype(dt), P)
+        y = jax.nn.leaky_relu(y, LRELU_SLOPE)
+        y = jax.lax.conv_general_dilated(
+            y, W2, window_strides=(1,),
+            padding=[(-smin2, smin2 + W2.shape[0] - 1)],
+            dimension_numbers=("NHC", "HIO", "NHC"))
+        y = y + jnp.tile(p2["bias"].astype(dt), P)
+        xp = xp + y
+    return xp
+
+
 def resblock_packed_xla(x, params, kernel_size: int,
                         dilations: Sequence[int]):
     """ResBlock1 with every conv/elementwise op in the packed-lane layout
@@ -249,24 +273,54 @@ def resblock_packed_xla(x, params, kernel_size: int,
     if P <= 1 or 128 % C or T % P:
         return _resblock_xla(x, params, kernel_size, dilations)
     xp = x.reshape(B, T // P, P * C)
-    for di, d in enumerate(dilations):
-        p1, p2 = params[f"conv1_{di}"], params[f"conv2_{di}"]
-        W1, smin1 = _packed_conv_weights(p1["kernel"].astype(x.dtype), d, P)
-        W2, smin2 = _packed_conv_weights(p2["kernel"].astype(x.dtype), 1, P)
-        y = jax.nn.leaky_relu(xp, LRELU_SLOPE)
-        y = jax.lax.conv_general_dilated(
-            y, W1, window_strides=(1,),
-            padding=[(-smin1, smin1 + W1.shape[0] - 1)],
-            dimension_numbers=("NHC", "HIO", "NHC"))
-        y = y + jnp.tile(p1["bias"].astype(x.dtype), P)
-        y = jax.nn.leaky_relu(y, LRELU_SLOPE)
-        y = jax.lax.conv_general_dilated(
-            y, W2, window_strides=(1,),
-            padding=[(-smin2, smin2 + W2.shape[0] - 1)],
-            dimension_numbers=("NHC", "HIO", "NHC"))
-        y = y + jnp.tile(p2["bias"].astype(x.dtype), P)
-        xp = xp + y
+    xp = _resblock_packed_core(xp, params, kernel_size, dilations, C, P,
+                               x.dtype)
     return xp.reshape(B, T, C)
+
+
+def conv_transpose_packed_out(x, kernel, bias, stride: int, padding: int,
+                              P: int):
+    """torch-semantics ConvTranspose1d emitting PACKED output directly:
+    x [B, T, C_in] -> [B, T*stride/P, P*C_out], skipping the lane-starved
+    [.., C_out] intermediate AND the pack copy (a [.., 32]-lane tensor is
+    tile-padded 4x, so the packed reshape is a real copy; producing packed
+    output avoids it).
+
+    Polyphase transform: with the torch kernel W_t (time order; our stored
+    kernel is pre-flipped, kernel[q] = W_t[k-1-q]),
+      y[s] = bias + sum_i x[i] . W_t[s - stride*i + padding]
+    so output block j, sub-row po reads x[a*j + t] (a = P/stride) against
+    W_t[po + padding - stride*t] — ONE stride-a conv over x whose kernel
+    stacks those tap matrices into [n_t, C_in, P*C_out]. Requires
+    stride | P (all HiFi-GAN stages that benefit: u=2, P in {2,4})."""
+    k, C_in, C_out = kernel.shape
+    assert P % stride == 0
+    a = P // stride
+    dt = x.dtype
+    # torch-order kernel (un-flip)
+    w_t = kernel[::-1]
+    taps = {}
+    for po in range(P):
+        for r in range(k):
+            num = po + padding - r
+            if num % stride:
+                continue
+            t = num // stride
+            taps.setdefault(t, []).append((po, r))
+    t_min, t_max = min(taps), max(taps)
+    n_t = t_max - t_min + 1
+    K = jnp.zeros((n_t, C_in, P * C_out), dt)
+    for t, entries in taps.items():
+        for po, r in entries:
+            K = K.at[t - t_min, :, po * C_out: (po + 1) * C_out].set(
+                w_t[r].astype(dt))
+    y = jax.lax.conv_general_dilated(
+        x, K, window_strides=(a,),
+        padding=[(-t_min, t_max + a - 1)],
+        dimension_numbers=("NHC", "HIO", "NHC"))
+    # output length must be exactly T*stride/P
+    y = y[:, : x.shape[1] * stride // P]
+    return y + jnp.tile(bias.astype(dt), P)
 
 
 def generator_apply_pallas(variables, mel: jnp.ndarray,
@@ -298,13 +352,35 @@ def generator_apply_pallas(variables, mel: jnp.ndarray,
         ch = config.upsample_initial_channel // (2 ** (i + 1))
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         up = p[f"up_{i}"]
+        packed_ok = 128 % ch == 0 and ch < 128
+        P = 128 // ch if packed_ok else 1
+        # whole-stage packed path: the upsample emits packed output
+        # directly (skips the lane-starved [.., C] intermediate and the
+        # pack copy), the three ResBlocks and the MRF average stay packed,
+        # and the stage unpacks ONCE at its end
+        stage_packed = (
+            packed_ok and P % u == 0
+            and (strategy == "packed_xla"
+                 or (strategy == "auto" and ch <= 32)))
+        if stage_packed:
+            xp = conv_transpose_packed_out(
+                x, cast(up["kernel"]), cast(up["bias"]), u, (k - u) // 2, P)
+            acc = None
+            for j, (rk, rd) in enumerate(
+                    zip(config.resblock_kernel_sizes,
+                        config.resblock_dilation_sizes)):
+                y = _resblock_packed_core(xp, p[f"res_{i}_{j}"], rk, rd,
+                                          ch, P, dt)
+                acc = y if acc is None else acc + y
+            xp = acc / len(config.resblock_kernel_sizes)
+            x = xp.reshape(xp.shape[0], xp.shape[1] * P, ch)
+            continue
         x = conv_transpose_1d(x, cast(up["kernel"]), cast(up["bias"]),
                               u, (k - u) // 2)
         acc = None
         for j, (rk, rd) in enumerate(zip(config.resblock_kernel_sizes,
                                          config.resblock_dilation_sizes)):
             rp = p[f"res_{i}_{j}"]
-            packed_ok = 128 % ch == 0 and ch < 128
             if strategy == "packed" and packed_ok:
                 y = resblock_pallas_packed(x, rp, rk, rd,
                                            interpret=interpret)
