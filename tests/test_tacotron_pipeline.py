@@ -127,6 +127,15 @@ def test_fused_list_path_matches_host_path(pipe):
         np.testing.assert_allclose(p / 32767.0, h, atol=2e-4, rtol=0)
 
 
+def test_warmup_precompiles_fused_path(pipe):
+    """warmup() must run the fused signatures end-to-end (compile +
+    execute) and leave results identical afterwards."""
+    before = pipe.tts([ARABIC], denoise=0.004)[0]
+    pipe.warmup(batch_sizes=(1,), text_buckets=(16,), denoise=0.004)
+    after = pipe.tts([ARABIC], denoise=0.004)[0]
+    np.testing.assert_array_equal(before, after)
+
+
 def test_needs_postprocessing_rules():
     assert not needs_postprocessing("a")
     assert not needs_postprocessing("m")

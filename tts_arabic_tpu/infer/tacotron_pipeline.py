@@ -605,6 +605,25 @@ class Tacotron2Wave:
             if done and emitted >= length:
                 return
 
+    def warmup(self, batch_sizes=(1,), text_buckets=(16, 32),
+               denoise: float = 0.005, out_int16: bool = False):
+        """Precompile the fused decode->truncate->vocode signatures a
+        serving deployment will hit (one per (batch, text-bucket); the
+        decode jit's step bound is the static `decoder_max_step`). Each
+        warmup entry runs a full-length decode on dummy tokens, so this
+        costs real decode time — do it once at server start (the
+        compilations also land in the persistent cache). The vocode stage
+        compiles for the mel bucket the dummy decode happens to produce;
+        other buckets compile on first hit."""
+        for bs in batch_sizes:
+            for tb in text_buckets:
+                toks = [["a"] * max(tb - N_EOS, 1)
+                        + list(text_frontend.EOS_TOKENS)] * bs
+                handles = self._dispatch_fused(
+                    toks, [False] * bs, 0, denoise, pad_to=bs,
+                    out_int16=out_int16)
+                self._collect_fused(handles)
+
     def tts(self, text_input: Union[str, List[str]],
             speed: Optional[float] = None, denoise: float = 0.005,
             speaker_id: int = 0, batch_size: int = 8,
