@@ -45,10 +45,13 @@ def aggregate_trace(trace_dir: pathlib.Path):
                    if e.get("ph") == "M" and e.get("name") == "process_name"
                    and "TPU" in (e["args"].get("name") or "")}
     # thread names on the device track distinguish the XLA op stream from
-    # the enclosing module event ("XLA Modules") which would double count
+    # the enclosing module event ("XLA Modules") and the "Steps" track
+    # (one numerically-named event spanning each whole step), either of
+    # which would double count
     module_tids = {(e["pid"], e["tid"]) for e in ev
                    if e.get("ph") == "M" and e.get("name") == "thread_name"
-                   and "module" in (e["args"].get("name") or "").lower()}
+                   and any(k in (e["args"].get("name") or "").lower()
+                           for k in ("module", "step"))}
     per_op = collections.defaultdict(float)
     long_names = {}
     total = 0.0

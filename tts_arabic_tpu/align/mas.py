@@ -44,7 +44,8 @@ def mas(log_attn: jnp.ndarray, in_lens: jnp.ndarray,
         row = attn_t + jnp.maximum(prev, shifted)
         return row, row
 
-    _, rest = jax.lax.scan(fwd, row0, jnp.swapaxes(attn[:, 1:], 0, 1))
+    _, rest = jax.lax.scan(fwd, row0, jnp.swapaxes(attn[:, 1:], 0, 1),
+                           unroll=8)
     log_p = jnp.concatenate([row0[:, None, :], jnp.swapaxes(rest, 0, 1)],
                             axis=1)  # [B, T_mel, T_txt]
 
@@ -64,7 +65,7 @@ def mas(log_attn: jnp.ndarray, in_lens: jnp.ndarray,
 
     i_seq = jnp.arange(T_mel - 1, 0, -1)
     prev_rows = jnp.swapaxes(log_p[:, :-1], 0, 1)[::-1]  # rows T_mel-2..0
-    j_final, opt_rows = jax.lax.scan(bwd, j0, (prev_rows, i_seq))
+    j_final, opt_rows = jax.lax.scan(bwd, j0, (prev_rows, i_seq), unroll=8)
 
     opt = jnp.swapaxes(opt_rows, 0, 1)[:, ::-1]  # rows 1..T_mel-1
     row0_opt = (cols == j_final[:, None]) & (out_lens > 0)[:, None]

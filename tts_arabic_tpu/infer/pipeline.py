@@ -50,14 +50,8 @@ def _round_up(n: int, mult: int) -> int:
     return ((n + mult - 1) // mult) * mult
 
 
-def cast_floating(tree, dtype):
-    """Cast every floating leaf of a pytree to `dtype` (int/bool leaves
-    untouched); identity when dtype is None."""
-    if dtype is None:
-        return tree
-    return jax.tree.map(
-        lambda x: x.astype(dtype)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+from ..runtime.utils import cast_floating  # noqa: F401  (canonical home;
+# re-exported here because the pipelines are its main consumer)
 
 
 def _pick_mel_bucket(n: int) -> int:

@@ -1,7 +1,21 @@
-"""Small host utilities (reference `utils/__init__.py:43-74` equivalents)."""
+"""Small utilities (reference `utils/__init__.py:43-74` equivalents, plus
+pytree dtype helpers shared by the inference pipelines and train steps)."""
 from __future__ import annotations
 
 import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def cast_floating(tree, dtype):
+    """Cast every floating leaf of a pytree to `dtype` (int/bool leaves
+    untouched); identity when dtype is None."""
+    if dtype is None:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
 
 def read_lines_from_file(path, encoding="utf-8"):

@@ -92,7 +92,16 @@ def make_fastpitch_train_step(model: FastPitch, tx,
                               feat_loss_weight: float = 1.0,
                               kl_loss_weight: float = 1.0):
     """Returns step(state, batch, rng) -> (state, meta). `batch` comes from
-    `data.collate_fastpitch`."""
+    `data.collate_fastpitch`.
+
+    Deliberately f32 throughout: a bf16 master-weights variant (params +
+    float batch cast down inside the differentiated function, losses and
+    the alignment path f32) measured EXACTLY neutral on the v5e —
+    26.87 -> 26.99 steps/s at the production shape — because JAX's default
+    matmul precision already executes the f32 matmuls as bf16 MXU passes
+    and the rest of the step is op-latency-bound, not activation-bandwidth
+    bound; it also destabilized the adversarial recipe at random init
+    (NaN after ~30 steps). See docs/PERF.md "Mixed-precision train step"."""
     adv = critic is not None
 
     def forward(params, batch, durs, rng, deterministic=False):
