@@ -137,3 +137,56 @@ def test_profiling_benchmark_and_annotations(tmp_path):
     with profiling.trace(tmp_path):
         profiling.block(f(x))
     assert any(tmp_path.rglob("*"))  # trace files written
+
+
+# ---- sequence-parallel vocoding ------------------------------------------
+
+def _tiny_gen(F, B=2, seed=7):
+    from tts_arabic_tpu.vocoder.hifigan import Generator, HiFiGANConfig
+    cfg = HiFiGANConfig(upsample_initial_channel=32)
+    gen = Generator(cfg)
+    rng = jax.random.PRNGKey(seed)
+    mel = jax.random.normal(rng, (B, F, cfg.num_mels), jnp.float32) - 5.0
+    v = gen.init(rng, mel[:, :16])
+    return gen, v, mel
+
+
+def test_sp_vocode_matches_full_call():
+    """Time-sharded vocoding over the 8-device mesh (ppermute halo
+    exchange) must reproduce the single-device full call exactly when the
+    mesh size divides F."""
+    from tts_arabic_tpu.parallel import make_mesh, sp_vocode
+
+    mesh = make_mesh()
+    gen, v, mel = _tiny_gen(F=8 * 32)  # core=32 == 2*overlap minimum
+    ref = np.asarray(gen.apply(v, mel))
+    got = np.asarray(sp_vocode(gen.apply, v, mel, mesh))
+    assert got.shape == ref.shape == (2, 8 * 32 * 256)
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=0)
+
+
+def test_sp_vocode_ragged_length():
+    """F not divisible by the mesh: the sharded pass runs on a padded mel
+    and the final overlap frames are re-vocoded at the true boundary —
+    output must match the full call everywhere."""
+    from tts_arabic_tpu.parallel import make_mesh, sp_vocode
+
+    mesh = make_mesh()
+    F = 8 * 32 + 17
+    gen, v, mel = _tiny_gen(F=F)
+    ref = np.asarray(gen.apply(v, mel))
+    got = np.asarray(sp_vocode(gen.apply, v, mel, mesh))
+    assert got.shape == ref.shape == (2, F * 256)
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=0)
+
+
+def test_sp_vocode_short_sequence_falls_back():
+    """Sequences too short to split (core < 2*overlap) take the plain
+    single-device path unchanged."""
+    from tts_arabic_tpu.parallel import make_mesh, sp_vocode
+
+    mesh = make_mesh()
+    gen, v, mel = _tiny_gen(F=40)
+    ref = np.asarray(gen.apply(v, mel))
+    got = np.asarray(sp_vocode(gen.apply, v, mel, mesh))
+    np.testing.assert_allclose(got, ref, atol=0, rtol=0)

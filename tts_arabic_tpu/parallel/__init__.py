@@ -1,15 +1,16 @@
 """Parallelism: mesh construction, sharding policy, DP helpers
-(single-process ICI and multi-process DCN)."""
+(single-process ICI and multi-process DCN), and sequence-parallel ops."""
 from .mesh import (DATA_AXIS, batch_sharded, data_parallel_jit,
                    init_multiprocess, local_batch_size, make_mesh,
                    make_multiprocess_mesh, mesh_context,
                    pad_batch_to_devices, process_local_rows, replicate,
                    replicated, shard_batch, shard_batch_from_process_local)
+from .sp import sp_vocode
 
 __all__ = [
     "DATA_AXIS", "batch_sharded", "data_parallel_jit", "init_multiprocess",
     "local_batch_size", "make_mesh", "make_multiprocess_mesh",
     "mesh_context", "pad_batch_to_devices", "process_local_rows",
     "replicate", "replicated", "shard_batch",
-    "shard_batch_from_process_local",
+    "shard_batch_from_process_local", "sp_vocode",
 ]
