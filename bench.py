@@ -106,9 +106,33 @@ def provenance():
     }
 
 
+def wait_for_backend(attempts: int = 8, delay_s: float = 75.0):
+    """The remote chip tunnel (axon platform) can drop transiently; retry
+    for ~10 min before giving up so a momentary outage at bench time
+    doesn't void the round's measurement. Probes in a SUBPROCESS each try
+    (jax caches a failed backend init within a process), and only returns
+    once a probe sees an accelerator."""
+    for i in range(attempts):
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "raise SystemExit(0 if d[0].platform != 'cpu' else 3)"],
+            capture_output=True)
+        if probe.returncode == 0:
+            return
+        if i == attempts - 1:
+            raise RuntimeError(
+                "accelerator backend unavailable after "
+                f"{attempts} probes: {probe.stderr.decode()[-400:]}")
+        print(f"# backend unavailable; retry {i + 1}/{attempts} in "
+              f"{delay_s:.0f}s", file=sys.stderr)
+        time.sleep(delay_s)
+
+
 def main():
     from tts_arabic_tpu.runtime.cache import enable_compilation_cache
     enable_compilation_cache()
+    wait_for_backend()
     import jax
     import jax.numpy as jnp
 

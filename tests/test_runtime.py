@@ -190,3 +190,23 @@ def test_sp_vocode_short_sequence_falls_back():
     ref = np.asarray(gen.apply(v, mel))
     got = np.asarray(sp_vocode(gen.apply, v, mel, mesh))
     np.testing.assert_allclose(got, ref, atol=0, rtol=0)
+
+
+def test_sp_vocode_vocos_backend():
+    """sp_vocode is generic over any locally-computed vocoder: the Vocos
+    ConvNeXt backbone + ISTFT head (receptive field ±27 frames + n_fft
+    overlap-add edge) matches the single-device call with overlap=32."""
+    from tts_arabic_tpu.parallel import make_mesh, sp_vocode
+    from tts_arabic_tpu.vocoder.vocos import MelVocosModule
+
+    mesh = make_mesh()
+    mod = MelVocosModule(n_mels=80, dim=48, intermediate_dim=96,
+                         num_layers=8)
+    rng = jax.random.PRNGKey(11)
+    F = 8 * 64
+    mel = jax.random.normal(rng, (1, F, 80), jnp.float32) - 5.0
+    v = mod.init(rng, mel[:, :80])
+    ref = np.asarray(mod.apply(v, mel))
+    got = np.asarray(sp_vocode(mod.apply, v, mel, mesh, overlap=32))
+    assert got.shape == ref.shape == (1, F * 256)
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=0)

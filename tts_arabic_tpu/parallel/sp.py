@@ -28,6 +28,11 @@ Mechanics (`shard_map` over the mesh axis):
   4. the output stays time-sharded (`P(None, axis)`) — downstream SP ops
      (denoiser, D2H of this device's chunk) can consume it in place;
      `jax.device_get` assembles the full waveform only if the host asks.
+
+`sp_vocode` is generic over any locally-computed mel->wave function:
+HiFi-GAN needs `overlap=16` (RF ±13 frames); the Vocos backbone + ISTFT
+head needs `overlap=32` (ConvNeXt RF ±27 + the n_fft overlap-add edge) —
+both verified exact on the 8-device mesh (tests/test_runtime.py).
 """
 from __future__ import annotations
 
