@@ -210,3 +210,23 @@ def test_sp_vocode_vocos_backend():
     got = np.asarray(sp_vocode(mod.apply, v, mel, mesh, overlap=32))
     assert got.shape == ref.shape == (1, F * 256)
     np.testing.assert_allclose(got, ref, atol=2e-6, rtol=0)
+
+
+def test_sp_vocode_2d_mesh_dp_times_sp():
+    """DP × SP on a 2-D (data=2, seq=4) mesh: batch rows sharded over
+    `data`, each row's time axis over `seq` — still exact vs the
+    single-device full call."""
+    from tts_arabic_tpu.parallel import (DATA_AXIS, SEQ_AXIS, make_mesh_2d,
+                                         sp_vocode)
+
+    mesh = make_mesh_2d(2, 4)
+    gen, v, mel = _tiny_gen(F=4 * 32 + 9, B=4)
+    ref = np.asarray(gen.apply(v, mel))
+    got = np.asarray(sp_vocode(gen.apply, v, mel, mesh, axis=SEQ_AXIS,
+                               batch_axis=DATA_AXIS))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=0)
+
+    with pytest.raises(ValueError):
+        sp_vocode(gen.apply, v, mel[:3], mesh, axis=SEQ_AXIS,
+                  batch_axis=DATA_AXIS)

@@ -1,6 +1,6 @@
 """Parallelism: mesh construction, sharding policy, DP helpers
 (single-process ICI and multi-process DCN), and sequence-parallel ops."""
-from .mesh import (DATA_AXIS, batch_sharded, data_parallel_jit,
+from .mesh import (DATA_AXIS, SEQ_AXIS, make_mesh_2d, batch_sharded, data_parallel_jit,
                    init_multiprocess, local_batch_size, make_mesh,
                    make_multiprocess_mesh, mesh_context,
                    pad_batch_to_devices, process_local_rows, replicate,
@@ -8,7 +8,7 @@ from .mesh import (DATA_AXIS, batch_sharded, data_parallel_jit,
 from .sp import sp_vocode
 
 __all__ = [
-    "DATA_AXIS", "batch_sharded", "data_parallel_jit", "init_multiprocess",
+    "DATA_AXIS", "SEQ_AXIS", "make_mesh_2d", "batch_sharded", "data_parallel_jit", "init_multiprocess",
     "local_batch_size", "make_mesh", "make_multiprocess_mesh",
     "mesh_context", "pad_batch_to_devices", "process_local_rows",
     "replicate", "replicated", "shard_batch",

@@ -29,6 +29,20 @@ def make_mesh(devices=None, n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+SEQ_AXIS = "seq"
+
+
+def make_mesh_2d(n_data: int, n_seq: int, devices=None) -> Mesh:
+    """2-D (data × seq) mesh: batch rows sharded over `data`, and within
+    each row-group one utterance's time axis sharded over `seq`
+    (`sp.sp_vocode(..., axis=SEQ_AXIS)`). `seq` is the fast (minor) axis so
+    its halo ppermutes ride adjacent-chip ICI links."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: n_data * n_seq])
+    return Mesh(devices.reshape(n_data, n_seq), (DATA_AXIS, SEQ_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

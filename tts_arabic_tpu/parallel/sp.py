@@ -49,9 +49,13 @@ LOG_MEL_SILENCE = -11.512925  # log(1e-5), the mel floor (audio/mel.py)
 
 def sp_vocode(apply_fn, variables, mel, mesh: Mesh, *,
               axis: str = DATA_AXIS, overlap: int = 16,
-              pad_value: float = LOG_MEL_SILENCE):
+              pad_value: float = LOG_MEL_SILENCE,
+              batch_axis: str | None = None):
     """Vocode `mel` [B, F, C] -> wave [B, F*hop] with the time axis sharded
-    over `mesh[axis]`.
+    over `mesh[axis]`. On a 2-D mesh (`make_mesh_2d`), pass
+    `axis=SEQ_AXIS, batch_axis=DATA_AXIS` to shard the batch axis too
+    (DP × SP: each row-group of chips vocodes its batch rows, splitting
+    each row's time axis among themselves).
 
     Matches the single-device `apply_fn(variables, mel)` exactly for every
     F: when the mesh size does not divide F, the mel is padded up with
@@ -64,6 +68,9 @@ def sp_vocode(apply_fn, variables, mel, mesh: Mesh, *,
     """
     n = int(mesh.shape[axis])
     B, F, C = mel.shape
+    if batch_axis is not None and B % int(mesh.shape[batch_axis]):
+        raise ValueError(f"batch {B} not divisible by "
+                         f"mesh[{batch_axis!r}]={mesh.shape[batch_axis]}")
     core = -(-F // n)
     if n == 1 or core < 2 * overlap:
         wave = apply_fn(variables, mel)
@@ -104,8 +111,8 @@ def sp_vocode(apply_fn, variables, mel, mesh: Mesh, *,
 
     out = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(None, axis, None)),
-        out_specs=P(None, axis),
+        in_specs=(P(), P(batch_axis, axis, None)),
+        out_specs=P(batch_axis, axis),
         check_vma=False,  # ppermute + axis_index are manually collective
     )(variables, mel)
     hop = out.shape[-1] // F_pad
