@@ -191,3 +191,49 @@ def test_download_verify_with_fetcher(tmp_path):
                              fetcher=None, out=lines.append)
     assert rc == 1
     assert any("FAIL" in l for l in lines)
+
+
+def test_server_stream_endpoint(small_ckpt):
+    """POST /api/tts/stream returns chunked int16 PCM equal to the
+    pipeline's own stream() output."""
+    from http.server import ThreadingHTTPServer
+    from tts_arabic_tpu.apps import server as srv
+
+    manager = srv.TTSManager([
+        {"name": "fp-small", "type": "fastpitch",
+         "checkpoint": str(small_ckpt)}])
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), srv.make_handler(manager))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/tts/stream",
+            data=json.dumps({"buckw": "Sifr wAHid", "rate": 1.0,
+                             "denoise": 0.0}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=180) as r:
+            assert r.headers["Content-Type"] == "audio/L16"
+            sr = int(r.headers["X-Sample-Rate"])
+            pcm = r.read()
+        got = np.frombuffer(pcm, np.int16)
+        assert sr == manager.models[0][1].sample_rate
+
+        _, model = manager.models[0]
+        ref = np.concatenate([np.asarray(c) for c in model.stream(
+            "Sifr wAHid", denoise=0.0, out_int16=True)])
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref)
+
+        # a synthesis error surfaces as a JSON 500, not a dropped socket
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/tts/stream",
+            data=json.dumps({"buckw": "Sifr", "rate": "nonsense"}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=60)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 500 and b"error" in e.read()
+        assert raised
+    finally:
+        httpd.shutdown()

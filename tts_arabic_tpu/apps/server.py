@@ -7,6 +7,10 @@ Endpoints match the reference surface (app.py:16-43):
 - POST /api/tts     : JSON {"buckw": str, "rate": float, "denoise": float}
                       -> synthesizes with every model in the registry,
                       writes static/wave{i}.wav, returns their URLs
+- POST /api/tts/stream : same JSON -> chunked raw int16 PCM (audio/L16,
+                      X-Sample-Rate header) from the first registry model,
+                      one HTTP chunk per vocoded window (beyond the
+                      reference surface — serving time-to-first-audio)
 - GET  /static/...  : generated audio
 
 The registry (`app_models.yaml`, reference `app/models.yaml` analogue) lists
@@ -19,6 +23,7 @@ Python frontend.
 from __future__ import annotations
 
 import argparse
+import itertools
 import json
 import pathlib
 import threading
@@ -124,6 +129,16 @@ class TTSManager:
             outputs.append({"model": name, "url": f"/static/{fname}"})
         return outputs
 
+    def stream(self, buckw: str, rate: float = 1.0, denoise: float = 0.005):
+        """Chunked synthesis with the FIRST registry model: yields int16
+        PCM byte chunks as each window is vocoded (pipeline `.stream()`,
+        beyond the reference surface). Returns (name, sample_rate, gen)."""
+        name, model = self.models[0]
+        gen = model.stream(buckw, speed=rate, denoise=denoise,
+                           out_int16=True)
+        return name, model.sample_rate, (np.asarray(c).tobytes()
+                                         for c in gen)
+
 
 def make_handler(manager: TTSManager):
     lock = threading.Lock()
@@ -134,6 +149,8 @@ def make_handler(manager: TTSManager):
     ).encode()
 
     class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"  # required for chunked streaming
+
         def _send(self, code, body, ctype="application/json"):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
@@ -152,6 +169,8 @@ def make_handler(manager: TTSManager):
             return self._send(404, b'{"error": "not found"}')
 
         def do_POST(self):
+            if self.path == "/api/tts/stream":
+                return self._stream_post()
             if self.path != "/api/tts":
                 return self._send(404, b'{"error": "not found"}')
             try:
@@ -164,6 +183,37 @@ def make_handler(manager: TTSManager):
                 body = json.dumps({"waves": waves}).encode()
                 return self._send(200, body)
             except Exception as e:  # surface errors to the client
+                return self._send(500, json.dumps(
+                    {"error": str(e)}).encode())
+
+        def _stream_post(self):
+            """POST /api/tts/stream: chunked raw int16 PCM (audio/L16),
+            one HTTP chunk per vocoded window — first audio after one
+            chunk's latency instead of the full synthesis. The first chunk
+            is computed BEFORE headers go out so synthesis errors still
+            surface as a 500."""
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                with lock:
+                    name, sr, gen = manager.stream(
+                        req.get("buckw", ""), float(req.get("rate", 1.0)),
+                        float(req.get("denoise", 0.005)))
+                    first = next(gen, b"")
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/L16")
+                    self.send_header("X-Sample-Rate", str(sr))
+                    self.send_header("X-Model", name)
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    for chunk in itertools.chain([first], gen):
+                        if chunk:
+                            self.wfile.write(
+                                f"{len(chunk):X}\r\n".encode()
+                                + chunk + b"\r\n")
+                            self.wfile.flush()
+                    self.wfile.write(b"0\r\n\r\n")
+            except Exception as e:
                 return self._send(500, json.dumps(
                     {"error": str(e)}).encode())
 
