@@ -155,3 +155,24 @@ def test_stream_first_chunk_latency_beats_full_synthesis():
         for _ in gen:
             pass
     assert best_first < 0.75 * full_s, (best_first, full_s)
+
+
+def test_tts_mulaw_output(pipe):
+    """out_int16="mulaw": uint8 companded waves on device, decoding to the
+    f32 output at telephony-grade SNR (quarter-size D2H)."""
+    from tts_arabic_tpu.audio import mulaw_decode
+
+    texts = ["Sifr wAHid", "kitAb"]
+    ref = pipe.tts(texts, denoise=0.004, batch_size=2)
+    got = pipe.tts(texts, denoise=0.004, batch_size=2, out_int16="mulaw")
+    for r, g in zip(ref, got):
+        assert g.dtype == np.uint8 and g.shape == r.shape
+        back = mulaw_decode(g)
+        err = np.mean((back - r) ** 2)
+        sig = np.mean(r ** 2) + 1e-12
+        assert 10 * np.log10(sig / (err + 1e-12)) > 25.0
+
+    # streaming honors the same mode
+    chunks = list(pipe.stream("Sifr wAHid", denoise=0.004,
+                              out_int16="mulaw"))
+    assert all(c.dtype == np.uint8 for c in chunks)

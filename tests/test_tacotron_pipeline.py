@@ -158,3 +158,19 @@ def test_resize_mel_identity_and_rate():
     assert resize_mel(mel, 1.0) is mel
     out = resize_mel(mel, 2.0)
     assert out.shape == (80, 20)
+
+
+def test_tts_mulaw_output(pipe):
+    """out_int16="mulaw" on the fused Tacotron2 path: uint8 companded
+    waves decoding to the f32 output at telephony-grade SNR."""
+    from tts_arabic_tpu.audio import mulaw_decode
+
+    texts = ["صِفر", "كِتاب"]
+    ref = pipe.tts(texts, denoise=0.004, batch_size=2)
+    got = pipe.tts(texts, denoise=0.004, batch_size=2, out_int16="mulaw")
+    for r, g in zip(ref, got):
+        assert g.dtype == np.uint8 and g.shape == r.shape
+        back = mulaw_decode(g)
+        err = np.mean((back - r) ** 2)
+        sig = np.mean(r ** 2) + 1e-12
+        assert 10 * np.log10(sig / (err + 1e-12)) > 25.0

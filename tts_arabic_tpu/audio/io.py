@@ -69,3 +69,23 @@ def trim_silence_db(
     start = keep[0] * hop_length
     end = min(len(x), (keep[-1] + 1) * hop_length + frame_length)
     return x[start:end]
+
+
+def mulaw_encode(x, mu: int = 255):
+    """f32 waveform in [-1, 1] -> uint8 mu-law codes (G.711-style
+    companding). Runs under jit (jnp in, jnp out), so pipelines can
+    compand ON DEVICE before D2H — 8-bit transfer, half of int16, at
+    telephony-grade quality (~38 dB SNR on speech). Decode with
+    `mulaw_decode`. Beyond the reference surface (serving: the tunnel's
+    D2H bandwidth is the e2e bottleneck, docs/PERF.md)."""
+    import jax.numpy as jnp
+    x = jnp.clip(x, -1.0, 1.0)
+    y = jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / np.log1p(mu)
+    return jnp.round((y + 1.0) * (mu / 2.0)).astype(jnp.uint8)
+
+
+def mulaw_decode(codes, mu: int = 255) -> np.ndarray:
+    """uint8 mu-law codes -> f32 waveform in [-1, 1] (host-side inverse
+    of `mulaw_encode`)."""
+    y = np.asarray(codes, np.float32) * (2.0 / mu) - 1.0
+    return np.sign(y) * (np.expm1(np.abs(y) * np.log1p(mu))) / mu

@@ -475,7 +475,12 @@ class FastPitch2Wave:
             if use_denoiser:
                 wave = denoiser_mod.denoise(wave, bias_spec,
                                             denoise_strength)
-        if out_int16:
+        if out_int16 == "mulaw":
+            # 8-bit G.711-style companding on device: quarter of f32 D2H,
+            # telephony-grade (~38 dB); decode with audio.mulaw_decode
+            from ..audio import mulaw_encode
+            wave = mulaw_encode(wave)
+        elif out_int16:
             # device-side int16 conversion halves the D2H transfer — the
             # tunnel bandwidth is the serving bottleneck, and wav files are
             # int16 anyway
@@ -616,7 +621,10 @@ class FastPitch2Wave:
                 wave = denoiser_mod.denoise(wave.astype(jnp.float32),
                                             bias_spec, denoise_strength)
         wave = wave.astype(jnp.float32)
-        if out_int16:
+        if out_int16 == "mulaw":
+            from ..audio import mulaw_encode
+            wave = mulaw_encode(wave)
+        elif out_int16:
             wave = (jnp.clip(wave, -1.0, 1.0) * 32767.0).astype(jnp.int16)
         return wave
 
@@ -708,6 +716,9 @@ class FastPitch2Wave:
         `FastPitch2Wave.tts`, networks.py:352-435).
 
         Returns waveform(s) as numpy float32 [n_samples] at 22050 Hz.
+        `out_int16`: False (float32) | True (int16, half the D2H) |
+        "mulaw" (uint8 G.711-style companding on device, quarter of the
+        f32 transfer; decode with `audio.mulaw_decode`).
         """
         kw = dict(speed=speed, denoise=denoise, speaker_id=speaker_id,
                   vowelizer=vowelizer, pitch_mul=pitch_mul,

@@ -434,7 +434,10 @@ class Tacotron2Wave:
         wave = wave.astype(jnp.float32)
         if use_denoiser:
             wave = denoiser_mod.denoise(wave, bias_spec, strength)
-        if out_int16:
+        if out_int16 == "mulaw":
+            from ..audio import mulaw_encode
+            wave = mulaw_encode(wave)  # uint8 companded D2H (audio.mulaw_decode)
+        elif out_int16:
             # device-side PCM conversion halves the D2H transfer
             wave = (jnp.clip(wave, -1.0, 1.0) * 32767.0).astype(jnp.int16)
         return wave
@@ -504,7 +507,10 @@ class Tacotron2Wave:
         wave = self._voc_apply(voc_vars, post).astype(jnp.float32)
         if use_denoiser:
             wave = denoiser_mod.denoise(wave, bias_spec, strength)
-        if out_int16:
+        if out_int16 == "mulaw":
+            from ..audio import mulaw_encode
+            wave = mulaw_encode(wave)
+        elif out_int16:
             wave = (jnp.clip(wave, -1.0, 1.0) * 32767.0).astype(jnp.int16)
         return wave
 

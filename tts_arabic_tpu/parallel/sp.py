@@ -68,9 +68,13 @@ def sp_vocode(apply_fn, variables, mel, mesh: Mesh, *,
     """
     n = int(mesh.shape[axis])
     B, F, C = mel.shape
-    if batch_axis is not None and B % int(mesh.shape[batch_axis]):
-        raise ValueError(f"batch {B} not divisible by "
-                         f"mesh[{batch_axis!r}]={mesh.shape[batch_axis]}")
+    if batch_axis is not None:
+        if batch_axis == axis:
+            raise ValueError("batch_axis must differ from the time axis "
+                             f"(both {axis!r}); use make_mesh_2d")
+        if B % int(mesh.shape[batch_axis]):
+            raise ValueError(f"batch {B} not divisible by "
+                             f"mesh[{batch_axis!r}]={mesh.shape[batch_axis]}")
     core = -(-F // n)
     if n == 1 or core < 2 * overlap:
         wave = apply_fn(variables, mel)
