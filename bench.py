@@ -428,6 +428,18 @@ def main():
     if rtf2 > rtf:
         rtf = rtf2
 
+    # informational: uint8 mu-law companded D2H (serving option for
+    # transfer-bound links; quality gated in tests at ~38 dB SNR)
+    def run_mulaw():
+        waves = pipe.tts(lines, denoise=0.005, batch_size=batch_size,
+                         out_int16="mulaw")
+        return sum(len(w) for w in waves)
+
+    run_mulaw()  # warmup (new static out mode)
+    stats_m, total_m = timed(run_mulaw)
+    note("rtf_fastpitch_hifigan_e2e_mulaw", (total_m / sr) / stats_m["best_s"],
+         stats_m)
+
     detail["rtf_headline_reported"] = round(rtf, 2)
     detail["provenance"] = provenance()
     (ROOT / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))

@@ -176,3 +176,23 @@ def test_tts_mulaw_output(pipe):
     chunks = list(pipe.stream("Sifr wAHid", denoise=0.004,
                               out_int16="mulaw"))
     assert all(c.dtype == np.uint8 for c in chunks)
+
+
+def test_stream_speculation_fallback_exact(monkeypatch):
+    """When the utterance outruns the speculative first-chunk bucket
+    (dec_len > STREAM_SPEC_FRAMES' bucket), stream() must discard the
+    speculation and still match tts_single exactly."""
+    from tts_arabic_tpu.infer import FastPitch2Wave
+    from tts_arabic_tpu.infer import pipeline as pl
+
+    monkeypatch.setattr(pl, "STREAM_SPEC_FRAMES", 1)  # bucket0 = window's
+    pipe = FastPitch2Wave(seed=0, arabic_in=False)
+    fc = pipe.model.variables["params"]["duration_predictor"]["fc"]
+    fc["bias"] = fc["bias"] + 2.0
+
+    text = "bisomi {ll~ahi {lr~aHoma`ni {lr~aHiymi"
+    full = pipe.tts_single(text, denoise=0.004)
+    streamed = np.concatenate(
+        list(pipe.stream(text, chunk_frames=48, denoise=0.004)))
+    assert streamed.shape == full.shape
+    np.testing.assert_allclose(streamed, full, atol=2e-5)

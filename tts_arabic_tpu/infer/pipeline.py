@@ -53,6 +53,13 @@ def _round_up(n: int, mult: int) -> int:
 from ..runtime.utils import cast_floating  # noqa: F401  (canonical home;
 # re-exported here because the pipelines are its main consumer)
 
+# stream() speculates its first chunk by decoding at this static bucket
+# before the dec_len round trip lands (~24 s of speech covers nearly all
+# utterances; longer ones fall back to the exact non-speculative path —
+# the deep bucket costs only milliseconds of extra MXU decode time, far
+# below the tunnel RTT it hides)
+STREAM_SPEC_FRAMES = 2048
+
 
 def _pick_mel_bucket(n: int) -> int:
     for b in MEL_BUCKETS:
@@ -649,23 +656,50 @@ class FastPitch2Wave:
         ids = m.tokenize(utterance, vowelizer)
         enc, _, _ = m._encode_batch([ids], speaker_id, pitch_mul, pitch_add,
                                     None, speed)
-        dec_len = int(enc["dec_len_max"])
         window = chunk_frames + 2 * overlap
-        bucket = _pick_mel_bucket(max(dec_len, window))
         fp_vars, enc_out = m.variables, enc["enc_out"]
         if self.compute_dtype is not None:  # same decode dtype as _wave_fn
             dt = self.compute_dtype
             fp_vars, enc_out = (cast_floating(fp_vars, dt),
                                 enc_out.astype(dt))
-        mel, _ = m._decode_jit(fp_vars, enc_out, enc["dur_pred"],
-                               jnp.float32(speed), max_frames=bucket)
         if not hasattr(self, "_stream_jit"):
             self._stream_jit = jax.jit(
                 self._stream_chunk_fn,
                 static_argnames=("window", "use_denoiser", "out_int16"))
+
+        # FIRST chunk is dispatched speculatively BEFORE the dec_len fetch:
+        # decode at a deep static bucket (spec_frames ~12 s of speech —
+        # milliseconds of MXU time) and vocode window 0 from it, so the
+        # device work overlaps the scalar's tunnel round trip (a serialized
+        # RTT in the old path — directly off time-to-first-audio). The
+        # decoder masks attention at dec_lens, so the speculative mel is
+        # IDENTICAL to the final-bucket decode whenever dec_len <=
+        # spec_frames' bucket (then it simply becomes the final mel);
+        # longer utterances discard the speculation and take the old exact
+        # path at no extra latency (the wasted programs were async).
+        bucket0 = _pick_mel_bucket(max(window, STREAM_SPEC_FRAMES))
+        mel0, _ = m._decode_jit(fp_vars, enc_out, enc["dur_pred"],
+                                jnp.float32(speed), max_frames=bucket0)
+        wave0 = self._stream_jit(
+            self.vocoder_vars, self.bias_spec, mel0, jnp.int32(0),
+            jnp.float32(denoise), window=window,
+            use_denoiser=denoise > 0, out_int16=out_int16)
+
+        dec_len = int(enc["dec_len_max"])  # overlaps the work above
+        bucket = _pick_mel_bucket(max(dec_len, window))
+        speculation_ok = bucket == bucket0
+        if speculation_ok:
+            mel = mel0
+        else:
+            mel, _ = m._decode_jit(fp_vars, enc_out, enc["dur_pred"],
+                                   jnp.float32(speed), max_frames=bucket)
         hop = self.hop_length
         n_chunks = max(-(-dec_len // chunk_frames), 1)
         for i in range(n_chunks):
+            if i == 0 and speculation_ok:
+                core_len = min(chunk_frames, dec_len)
+                yield np.asarray(wave0[0, : core_len * hop])
+                continue
             start = int(np.clip(i * chunk_frames - overlap, 0,
                                 bucket - window))
             core_off = i * chunk_frames - start
