@@ -98,6 +98,31 @@ for i, chunk in enumerate(tts.stream("اَلسَّلامُ عَلَيكُم يَ
 for i, chunk in enumerate(taco.stream("صِفر", chunk_frames=64, denoise=0.0)):
     print(f"tacotron2 chunk {i}: {len(chunk) / taco.sample_rate:.2f}s")
 
+# %% compact transfers (beyond the reference): waves can leave the chip as
+# int16 PCM or uint8 mu-law (quarter of the f32 transfer, ~38 dB — the
+# D2H link is the serving bottleneck on remote accelerators)
+from tts_arabic_tpu.audio import mulaw_decode
+
+codes = tts.tts("صِفر", out_int16="mulaw")
+print("mulaw:", codes.dtype, len(codes), "->",
+      mulaw_decode(codes).dtype)
+
+# %% sequence-parallel vocoding (multi-chip): ONE utterance's time axis
+# sharded over the mesh — exact vs the single-device call. Run under
+# XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu
+# to try on a virtual mesh without TPU pod hardware.
+import jax
+
+if len(jax.devices()) > 1:
+    from tts_arabic_tpu.parallel import make_mesh, sp_vocode
+    from tts_arabic_tpu.vocoder.hifigan import Generator
+
+    mel = tts.model.ttmel("اَلسَّلامُ عَلَيكُم")  # [n_mels, T]
+    gen = Generator(tts.vocoder_config)
+    wave_sp = sp_vocode(lambda v, m: gen.apply(v, m),
+                        tts.vocoder_vars, mel.T[None], make_mesh())
+    print("sp_vocode:", wave_sp.shape)
+
 # %% audio playback (reference test.py:91-96 / test.ipynb playback cells):
 # plays through the default output device when `sounddevice` is installed
 # (optional dependency, absent in CI); saves to disk either way.

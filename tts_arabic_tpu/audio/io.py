@@ -88,4 +88,5 @@ def mulaw_decode(codes, mu: int = 255) -> np.ndarray:
     """uint8 mu-law codes -> f32 waveform in [-1, 1] (host-side inverse
     of `mulaw_encode`)."""
     y = np.asarray(codes, np.float32) * (2.0 / mu) - 1.0
-    return np.sign(y) * (np.expm1(np.abs(y) * np.log1p(mu))) / mu
+    out = np.sign(y) * (np.expm1(np.abs(y) * np.log1p(mu))) / mu
+    return out.astype(np.float32)
