@@ -196,3 +196,40 @@ def test_stream_speculation_fallback_exact(monkeypatch):
         list(pipe.stream(text, chunk_frames=48, denoise=0.004)))
     assert streamed.shape == full.shape
     np.testing.assert_allclose(streamed, full, atol=2e-5)
+
+
+def test_longform_paragraph(pipe):
+    """tts_long splits on Arabic/Latin sentence punctuation (stripping the
+    terminal marks that raise in the tokenizer), batches the sentences,
+    and joins with the requested pause."""
+    from tts_arabic_tpu.infer import split_sentences, stream_long, tts_long
+
+    text = "Sifr wAHid. kitAb jadiyd؟ marHaban!"
+    sents = split_sentences(text)
+    assert sents == ["Sifr wAHid", "kitAb jadiyd", "marHaban"]
+    assert split_sentences("   ") == []
+
+    waves = pipe.tts(sents, batch_size=4, denoise=0.004)
+    pause = int(round(0.2 * pipe.sample_rate))
+    long_wave = tts_long(pipe, text, pause_s=0.2, batch_size=4,
+                         denoise=0.004)
+    assert long_wave.shape == (sum(len(w) for w in waves) + 2 * pause,)
+    # sentence content is identical to the batched call
+    np.testing.assert_allclose(long_wave[: len(waves[0])], waves[0],
+                               atol=1e-6)
+    assert np.all(long_wave[len(waves[0]): len(waves[0]) + pause] == 0)
+
+    # streaming variant: chunks concatenate to per-sentence streams+pauses
+    chunks = list(stream_long(pipe, text, pause_s=0.2, chunk_frames=48,
+                              denoise=0.004))
+    got = np.concatenate(chunks)
+    ref = []
+    for i, s in enumerate(sents):
+        ref.append(np.concatenate(list(pipe.stream(s, chunk_frames=48,
+                                                   denoise=0.004))))
+        if i != len(sents) - 1:
+            ref.append(np.zeros(pause, np.float32))
+    np.testing.assert_allclose(got, np.concatenate(ref), atol=1e-6)
+
+    # empty input
+    assert tts_long(pipe, "!!!").shape == (0,)
