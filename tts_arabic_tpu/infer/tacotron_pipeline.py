@@ -567,27 +567,37 @@ class Tacotron2Wave:
         hop = self.vocoder_config.hop_length
         mel_acc = np.zeros((1, 0, self.vocoder_config.num_mels), np.float32)
         emitted, length, done = 0, 0, False
+        t_host, first_seg = 0, True  # decode_setup starts the step clock at 0
 
         while True:
             if not done:
-                # cap the tail segment so the decode stops exactly at
-                # decoder_max_step, matching tts_single() (n_steps is
-                # static, so the capped tail costs one extra compile)
-                n_steps = min(chunk_frames,
-                              m.decoder_max_step - int(carry["t"]))
+                # the FIRST segment decodes chunk+margin steps so the first
+                # core's lookahead margin lands in one segment round trip
+                # instead of two (time-to-first-audio is RTT-bound over the
+                # tunnel); the tail segment is capped so the decode stops
+                # exactly at decoder_max_step, matching tts_single()
+                # (n_steps is static — each distinct value costs a compile)
+                want = chunk_frames + (margin if first_seg else 0)
+                n_steps = min(want, m.decoder_max_step - t_host)
                 if n_steps <= 0:
                     done = True
                 else:
                     carry, seg = self._seg_jit(m.variables, carry, enc, rng,
                                                n_steps=n_steps)
-                    n_new = int(seg["n_new"])
+                    first_seg = False
+                    # ONE batched device_get per segment (each separate
+                    # scalar fetch costs a tunnel round trip)
+                    n_new, mel_seg, lengths, fin, t_dev = jax.device_get(
+                        (seg["n_new"], seg["mel"], carry["lengths"],
+                         carry["finished"], carry["t"]))
+                    n_new, t_host = int(n_new), int(t_dev)
                     if n_new:
                         mel_acc = np.concatenate(
-                            [mel_acc, np.asarray(seg["mel"][:, :n_new],
+                            [mel_acc, np.asarray(mel_seg[:, :n_new],
                                                  np.float32)], axis=1)
-                    length = int(carry["lengths"][0])
-                    done = (bool(np.asarray(carry["finished"]).all())
-                            or int(carry["t"]) >= m.decoder_max_step
+                    length = int(lengths[0])
+                    done = (bool(fin.all())
+                            or t_host >= m.decoder_max_step
                             or n_new == 0)
             # emit every core whose lookahead margin is decoded (all
             # remaining cores once the decode is done)
