@@ -209,8 +209,10 @@ class Tacotron2TTS:
         """Token lists -> (mel_postnet [B,S,80], lens, aligns, inverse)."""
         out, lens, inverse = self._dispatch_infer(tokens_list, speaker_id,
                                                   pad_to, rng)
-        return (np.asarray(out["mel_postnet"]), np.asarray(out["mel_lens"]),
-                np.asarray(out["alignments"]), lens, inverse)
+        # one batched transfer (separate fetches each cost a tunnel RTT)
+        mel, mel_lens, aligns = jax.device_get(
+            (out["mel_postnet"], out["mel_lens"], out["alignments"]))
+        return mel, mel_lens, aligns, lens, inverse
 
     # -- public API ----------------------------------------------------------
 
