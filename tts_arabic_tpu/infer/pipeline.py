@@ -685,12 +685,24 @@ class FastPitch2Wave:
             jnp.float32(denoise), window=window,
             use_denoiser=denoise > 0, out_int16=out_int16)
 
-        dec_len = int(enc["dec_len_max"])  # overlaps the work above
-        bucket = _pick_mel_bucket(max(dec_len, window))
-        speculation_ok = bucket == bucket0
+        # ONE batched transfer for the scalar AND the speculative chunk:
+        # fetching them separately costs two serialized tunnel RTTs (the
+        # wave0 bytes are ~160 KB — negligible next to an RTT, even when
+        # the speculation is discarded)
+        dec_len_a, wave0_np = jax.device_get((enc["dec_len_max"], wave0))
+        dec_len = int(dec_len_a)
+        # mel frames are bucket-invariant wherever the stream reads them:
+        # the decoder masks attention keys at dec_lens and every consumed
+        # window stays >= a conv receptive field away from the bucket's
+        # pad boundary when dec_len + window fits — so the speculative
+        # deep-bucket mel IS the mel, for the whole stream (empirically
+        # gated by test_stream_equals_tts_single, which compares against
+        # tts_single's tighter-bucket decode)
+        speculation_ok = dec_len + window <= bucket0
         if speculation_ok:
-            mel = mel0
+            mel, bucket = mel0, bucket0
         else:
+            bucket = _pick_mel_bucket(max(dec_len, window))
             mel, _ = m._decode_jit(fp_vars, enc_out, enc["dur_pred"],
                                    jnp.float32(speed), max_frames=bucket)
         hop = self.hop_length
@@ -698,7 +710,7 @@ class FastPitch2Wave:
         for i in range(n_chunks):
             if i == 0 and speculation_ok:
                 core_len = min(chunk_frames, dec_len)
-                yield np.asarray(wave0[0, : core_len * hop])
+                yield wave0_np[0, : core_len * hop]
                 continue
             start = int(np.clip(i * chunk_frames - overlap, 0,
                                 bucket - window))
