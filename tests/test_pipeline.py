@@ -233,3 +233,9 @@ def test_longform_paragraph(pipe):
 
     # empty input
     assert tts_long(pipe, "!!!").shape == (0,)
+
+
+def test_longform_rejects_return_mel(pipe):
+    from tts_arabic_tpu.infer import tts_long
+    with pytest.raises(ValueError):
+        tts_long(pipe, "Sifr. wAHid", return_mel=True)

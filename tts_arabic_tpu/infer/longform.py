@@ -37,6 +37,10 @@ def tts_long(pipe, text: str, pause_s: float = 0.25, batch_size: int = 16,
     through to `pipe.tts` (speed/denoise/speaker_id/vowelizer/...).
     Returns float32 (or int16/uint8 when `out_int16` is set — the pause
     silence matches the output dtype)."""
+    if tts_kwargs.get("return_mel"):
+        raise ValueError("tts_long returns one joined waveform; "
+                         "use pipe.tts(split_sentences(text), "
+                         "return_mel=True) for per-sentence mels")
     sentences = split_sentences(text)
     if not sentences:
         return np.zeros(0, np.float32)
