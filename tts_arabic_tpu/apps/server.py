@@ -192,6 +192,7 @@ def make_handler(manager: TTSManager):
             chunk's latency instead of the full synthesis. The first chunk
             is computed BEFORE headers go out so synthesis errors still
             surface as a 500."""
+            headers_sent = False
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
@@ -206,6 +207,7 @@ def make_handler(manager: TTSManager):
                     self.send_header("X-Model", name)
                     self.send_header("Transfer-Encoding", "chunked")
                     self.end_headers()
+                    headers_sent = True
                     for chunk in itertools.chain([first], gen):
                         if chunk:
                             self.wfile.write(
@@ -214,6 +216,12 @@ def make_handler(manager: TTSManager):
                             self.wfile.flush()
                     self.wfile.write(b"0\r\n\r\n")
             except Exception as e:
+                if headers_sent:
+                    # mid-stream failure: a second response would corrupt
+                    # the chunked protocol — drop the connection so the
+                    # client sees a truncated stream, not silent success
+                    self.close_connection = True
+                    return
                 return self._send(500, json.dumps(
                     {"error": str(e)}).encode())
 
