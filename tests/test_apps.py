@@ -237,3 +237,33 @@ def test_server_stream_endpoint(small_ckpt):
         assert raised
     finally:
         httpd.shutdown()
+
+
+def test_export_serving_bundle(tmp_path, small_ckpt):
+    """jax.export bundle round-trip: export encode/wave programs with
+    baked weights, reload via ServingBundle (no checkpoint, no model
+    construction) and match the live pipeline's int16 output exactly
+    (mel frames are bucket-invariant, so differing bucket ladders don't
+    matter)."""
+    from tts_arabic_tpu.apps.export_serving import (ServingBundle,
+                                                    export_bundle)
+    from tts_arabic_tpu.infer import FastPitch2Wave
+
+    out = export_bundle(tmp_path / "bundle", str(small_ckpt),
+                        batch_sizes=(2,), text_buckets=(16,),
+                        mel_buckets=(128, 256))
+    assert (out / "manifest.json").exists()
+    assert len(list(out.glob("*.shlo"))) == 3
+
+    bundle = ServingBundle(out)
+    texts = ["Sifr", "kitAb"]
+    got = bundle.tts(texts, denoise=0.004)
+
+    pipe = FastPitch2Wave(str(small_ckpt), arabic_in=False,
+                          compute_dtype=jnp.bfloat16)
+    ref = pipe.tts(texts, denoise=0.004, batch_size=2, out_int16=True)
+    assert len(got) == len(ref) == 2
+    for g, r in zip(got, ref):
+        assert g.dtype == np.int16
+        assert g.shape == r.shape
+        np.testing.assert_array_equal(g, r)
