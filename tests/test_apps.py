@@ -267,3 +267,19 @@ def test_export_serving_bundle(tmp_path, small_ckpt):
         assert g.dtype == np.int16
         assert g.shape == r.shape
         np.testing.assert_array_equal(g, r)
+
+
+def test_export_bundle_cross_platform_lowering(tmp_path, small_ckpt):
+    """--platforms tpu,cpu: bundles cross-lower for TPU from a CPU host
+    (the pod-shipping story) and still execute on the CPU backend."""
+    from tts_arabic_tpu.apps.export_serving import (ServingBundle,
+                                                    export_bundle)
+
+    out = export_bundle(tmp_path / "xb", str(small_ckpt),
+                        batch_sizes=(1,), text_buckets=(16,),
+                        mel_buckets=(128,), platforms=("tpu", "cpu"))
+    man = json.loads((out / "manifest.json").read_text())
+    assert man["platforms"] == ["tpu", "cpu"]
+    waves = ServingBundle(out).tts(["Sifr"], denoise=0.0)
+    assert len(waves) == 1 and waves[0].dtype == np.int16
+    assert len(waves[0]) > 0
