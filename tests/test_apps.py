@@ -283,3 +283,16 @@ def test_export_bundle_cross_platform_lowering(tmp_path, small_ckpt):
     waves = ServingBundle(out).tts(["Sifr"], denoise=0.0)
     assert len(waves) == 1 and waves[0].dtype == np.int16
     assert len(waves[0]) > 0
+
+
+def test_export_bundle_capacity_guards(tmp_path, small_ckpt):
+    from tts_arabic_tpu.apps.export_serving import (ServingBundle,
+                                                    export_bundle)
+
+    out = export_bundle(tmp_path / "gb", str(small_ckpt), batch_sizes=(1,),
+                        text_buckets=(16,), mel_buckets=(128,))
+    b = ServingBundle(out)
+    with pytest.raises(ValueError):
+        b.tts(["Sifr", "kitAb"])  # > largest exported batch
+    with pytest.raises(ValueError):
+        b.tts(["b a " * 20])      # > largest exported text bucket

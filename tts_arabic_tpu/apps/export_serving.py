@@ -137,6 +137,16 @@ class ServingBundle:
         man = self.manifest
         ids = [np.asarray(tokens_to_ids(buckwalter_to_tokens(
             t, append_space=False)), np.int32) for t in texts]
+        if len(ids) > max(man["batch_sizes"]):
+            raise ValueError(
+                f"{len(ids)} texts > largest exported batch "
+                f"{max(man['batch_sizes'])}; split the list or re-export "
+                f"with larger --batch-sizes")
+        if max(len(i) for i in ids) > max(man["text_buckets"]):
+            raise ValueError(
+                "input longer than the largest exported text bucket "
+                f"({max(man['text_buckets'])} tokens); re-export with "
+                "larger --text-buckets")
         bs = self._bucket(len(ids), man["batch_sizes"])
         tb = self._bucket(max(len(i) for i in ids), man["text_buckets"])
         tbx = max(man["text_buckets"])
