@@ -111,7 +111,12 @@ def wait_for_backend(attempts: int = 8, delay_s: float = 75.0):
     for ~10 min before giving up so a momentary outage at bench time
     doesn't void the round's measurement. Probes in a SUBPROCESS each try
     (jax caches a failed backend init within a process), and only returns
-    once a probe sees an accelerator."""
+    once a probe sees an accelerator. On a genuinely CPU-only host, set
+    BENCH_ALLOW_CPU=1 to skip the probe and benchmark the CPU backend
+    (slow, but meaningful as a smoke run)."""
+    import os
+    if os.environ.get("BENCH_ALLOW_CPU"):
+        return
     for i in range(attempts):
         probe = subprocess.run(
             [sys.executable, "-c",

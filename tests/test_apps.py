@@ -212,7 +212,7 @@ def test_server_stream_endpoint(small_ckpt):
                              "denoise": 0.0}).encode(),
             headers={"Content-Type": "application/json"})
         with urllib.request.urlopen(req, timeout=180) as r:
-            assert r.headers["Content-Type"] == "audio/L16"
+            assert r.headers["X-Audio-Format"] == "s16le"
             sr = int(r.headers["X-Sample-Rate"])
             pcm = r.read()
         got = np.frombuffer(pcm, np.int16)

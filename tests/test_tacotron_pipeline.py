@@ -174,3 +174,15 @@ def test_tts_mulaw_output(pipe):
         err = np.mean((back - r) ** 2)
         sig = np.mean(r ** 2) + 1e-12
         assert 10 * np.log10(sig / (err + 1e-12)) > 25.0
+
+
+def test_host_list_path_honors_out_int16(pipe):
+    """tts(list, speed=...) takes the non-fused host path; out_int16 must
+    still convert on device (regression: it used to be silently dropped)."""
+    texts = ["صِفر", "كِتاب"]
+    ref = pipe.tts(texts, speed=0.9, denoise=0.004, batch_size=2)
+    pcm = pipe.tts(texts, speed=0.9, denoise=0.004, batch_size=2,
+                   out_int16=True)
+    for r, p in zip(ref, pcm):
+        assert p.dtype == np.int16 and p.shape == r.shape
+        np.testing.assert_allclose(p / 32767.0, r, atol=2e-4, rtol=0)

@@ -158,6 +158,11 @@ class ServingBundle:
             jnp.float32(pitch_add), jnp.int32(speaker_id),
             jnp.float32(speed))
         dec_len = int(enc["dec_len_max"])
+        if dec_len > max(man["mel_buckets"]):
+            raise ValueError(
+                f"predicted mel length {dec_len} > largest exported mel "
+                f"bucket {max(man['mel_buckets'])}; the output would be "
+                "truncated — re-export with larger --mel-buckets")
         mb = self._bucket(dec_len, man["mel_buckets"])
         enc_out = np.zeros((bs, tbx, enc["enc_out"].shape[-1]), np.float32)
         enc_out[:, :tb] = np.asarray(enc["enc_out"], np.float32)

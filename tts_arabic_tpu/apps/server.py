@@ -7,8 +7,9 @@ Endpoints match the reference surface (app.py:16-43):
 - POST /api/tts     : JSON {"buckw": str, "rate": float, "denoise": float}
                       -> synthesizes with every model in the registry,
                       writes static/wave{i}.wav, returns their URLs
-- POST /api/tts/stream : same JSON -> chunked raw int16 PCM (audio/L16,
-                      X-Sample-Rate header) from the first registry model,
+- POST /api/tts/stream : same JSON -> chunked raw s16le PCM
+                      (X-Audio-Format/X-Sample-Rate headers) from the
+                      first registry model,
                       one HTTP chunk per vocoded window (beyond the
                       reference surface — serving time-to-first-audio)
 - GET  /static/...  : generated audio
@@ -202,7 +203,12 @@ def make_handler(manager: TTSManager):
                         float(req.get("denoise", 0.005)))
                     first = next(gen, b"")
                     self.send_response(200)
-                    self.send_header("Content-Type", "audio/L16")
+                    # raw NATIVE-endian s16 frames (audio/L16 would imply
+                    # big-endian per RFC 2586); format spelled out in
+                    # headers for generic clients
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.send_header("X-Audio-Format", "s16le")
                     self.send_header("X-Sample-Rate", str(sr))
                     self.send_header("X-Model", name)
                     self.send_header("Transfer-Encoding", "chunked")

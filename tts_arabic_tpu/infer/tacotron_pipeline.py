@@ -444,7 +444,7 @@ class Tacotron2Wave:
             wave = (jnp.clip(wave, -1.0, 1.0) * 32767.0).astype(jnp.int16)
         return wave
 
-    def _dispatch_vocode(self, mels, denoise):
+    def _dispatch_vocode(self, mels, denoise, out_int16=False):
         """Stack host mels at a bucketed length, dispatch the vocoder jit
         (async). Returns (wave handle, per-mel frame lens)."""
         lens = [m.shape[1] for m in mels]
@@ -455,7 +455,8 @@ class Tacotron2Wave:
             stacked[i, : m.shape[1]] = m.T
         wave = self._vocode_jit(
             self.vocoder_vars, self.bias_spec, jnp.asarray(stacked),
-            jnp.float32(denoise), use_denoiser=denoise > 0)
+            jnp.float32(denoise), use_denoiser=denoise > 0,
+            out_int16=out_int16)
         return wave, lens
 
     def _split_waves(self, wave, lens):
@@ -466,14 +467,15 @@ class Tacotron2Wave:
                   speed: Optional[float] = None, denoise: float = 0.0,
                   vowelizer: Optional[str] = None, pitch_mul=None,
                   pitch_add=None, postprocess_mel: bool = True,
-                  return_mel: bool = False, pad_to=None):
+                  return_mel: bool = False, pad_to=None,
+                  out_int16: bool = False):
         mels = self.model.ttmel_batch(batch, speaker_id=speaker_id,
                                       speed=speed, vowelizer=vowelizer,
                                       postprocess_mel=postprocess_mel,
                                       pad_to=pad_to)
         # vocode the whole batch at a bucketed length (the reference loops
         # the vocoder per mel, networks.py:340-345)
-        wave, lens = self._dispatch_vocode(mels, denoise)
+        wave, lens = self._dispatch_vocode(mels, denoise, out_int16)
         waves = self._split_waves(np.asarray(wave), lens)
         if return_mel:
             return waves, mels
@@ -699,11 +701,11 @@ class Tacotron2Wave:
 
         def _collect(item):
             idxs, (tokens_list, do_post), (out, _, inverse) = item
-            mels_b = m._finish_ttmel(
-                np.asarray(out["mel_postnet"]), np.asarray(out["mel_lens"]),
-                np.asarray(out["alignments"]), inverse, tokens_list,
-                do_post, speed)
-            wave, lens = self._dispatch_vocode(mels_b, denoise)
+            mel_np, len_np, align_np = jax.device_get(
+                (out["mel_postnet"], out["mel_lens"], out["alignments"]))
+            mels_b = m._finish_ttmel(mel_np, len_np, align_np, inverse,
+                                     tokens_list, do_post, speed)
+            wave, lens = self._dispatch_vocode(mels_b, denoise, out_int16)
             batch_waves = self._split_waves(np.asarray(wave), lens)
             for j, i in enumerate(idxs):
                 waves[i] = batch_waves[j]

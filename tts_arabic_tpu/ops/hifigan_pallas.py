@@ -331,15 +331,17 @@ def generator_apply_pallas(variables, mel: jnp.ndarray,
     wave [B, T*hop], reading the exact same variables pytree.
 
     strategy selects the MRF ResBlock implementation per stage:
-      - "auto" (default): the measured-fastest mix on v5e — the packed-lane
-        Pallas kernel at C=32 (29.2 vs XLA's 24.7 TF/s chained) and plain
-        XLA at C >= 64, where XLA's own fusion wins (93.4 vs 70-80 TF/s);
-        see docs/PERF.md and tools/bench_resblock.py
+      - "auto" (default): the measured-fastest mix on v5e — the WHOLE-STAGE
+        packed-XLA path at C <= 32 (polyphase packed-output upsample +
+        packed MRF, 58.1 TF/s vs plain XLA's 24.7 on the C=32 stage; plain
+        XLA compile path, no Mosaic warmup) and plain XLA at C >= 64,
+        where XLA's own fusion wins (93.4 vs 70-80 TF/s); see docs/PERF.md
+        and tools/bench_resblock.py
       - "xla" | "unfold" | "packed" | "packed_xla": force one
         implementation everywhere it applies (benchmark/debug; packed
-        variants need 128 % C == 0, C < 128). "packed_xla" is the same
-        lane-packing transform expressed as plain XLA convs — normal
-        (cached) compile path, no Mosaic warmup.
+        variants need 128 % C == 0, C < 128). "packed" is the per-resblock
+        packed-lane PALLAS kernel (Mosaic warmup applies); "packed_xla" is
+        the lane-packing transform as plain XLA convs.
     """
     assert config.resblock == "1", "pallas path covers ResBlock1 checkpoints"
     p = variables["params"]
@@ -360,6 +362,12 @@ def generator_apply_pallas(variables, mel: jnp.ndarray,
         # and the stage unpacks ONCE at its end
         stage_packed = (
             packed_ok and P % u == 0
+            # packed output has T*u/P frames: require divisibility, else
+            # the trailing partial group would be silently dropped (the
+            # default config is always safe — stage inputs are T*128/T*256
+            # by the time C reaches 32 — but exotic rate ladders with odd
+            # T are not)
+            and (x.shape[1] * u) % P == 0
             and (strategy == "packed_xla"
                  or (strategy == "auto" and ch <= 32)))
         if stage_packed:
