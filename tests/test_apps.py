@@ -224,6 +224,23 @@ def test_server_stream_endpoint(small_ckpt):
         assert got.shape == ref.shape
         np.testing.assert_array_equal(got, ref)
 
+        # mulaw format: uint8 codes decoding near the s16le stream
+        from tts_arabic_tpu.audio import mulaw_decode
+        req_m = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/tts/stream",
+            data=json.dumps({"buckw": "Sifr wAHid", "rate": 1.0,
+                             "denoise": 0.0, "format": "mulaw"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req_m, timeout=180) as r:
+            assert r.headers["X-Audio-Format"] == "mulaw"
+            mu = np.frombuffer(r.read(), np.uint8)
+        back = mulaw_decode(mu)
+        ref16 = got.astype(np.float32) / 32767.0
+        assert back.shape == ref16.shape
+        snr = 10 * np.log10((np.mean(ref16 ** 2) + 1e-12) /
+                            (np.mean((back - ref16) ** 2) + 1e-12))
+        assert snr > 20.0, snr  # plumbing check; codec SNR gated in test_pipeline
+
         # a synthesis error surfaces as a JSON 500, not a dropped socket
         bad = urllib.request.Request(
             f"http://127.0.0.1:{port}/api/tts/stream",

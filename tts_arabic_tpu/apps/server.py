@@ -130,13 +130,18 @@ class TTSManager:
             outputs.append({"model": name, "url": f"/static/{fname}"})
         return outputs
 
-    def stream(self, buckw: str, rate: float = 1.0, denoise: float = 0.005):
-        """Chunked synthesis with the FIRST registry model: yields int16
-        PCM byte chunks as each window is vocoded (pipeline `.stream()`,
-        beyond the reference surface). Returns (name, sample_rate, gen)."""
+    def stream(self, buckw: str, rate: float = 1.0, denoise: float = 0.005,
+               fmt: str = "s16le"):
+        """Chunked synthesis with the FIRST registry model: yields PCM byte
+        chunks as each window is vocoded (pipeline `.stream()`, beyond the
+        reference surface). fmt: "s16le" (native int16) or "mulaw" (uint8
+        G.711-style companding — quarter of the f32 transfer, telephony
+        clients consume it directly). Returns (name, sample_rate, gen)."""
+        if fmt not in ("s16le", "mulaw"):
+            raise ValueError(f"unknown stream format {fmt!r}")
         name, model = self.models[0]
         gen = model.stream(buckw, speed=rate, denoise=denoise,
-                           out_int16=True)
+                           out_int16="mulaw" if fmt == "mulaw" else True)
         return name, model.sample_rate, (np.asarray(c).tobytes()
                                          for c in gen)
 
@@ -197,10 +202,11 @@ def make_handler(manager: TTSManager):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                fmt = req.get("format", "s16le")
                 with lock:
                     name, sr, gen = manager.stream(
                         req.get("buckw", ""), float(req.get("rate", 1.0)),
-                        float(req.get("denoise", 0.005)))
+                        float(req.get("denoise", 0.005)), fmt)
                     first = next(gen, b"")
                     self.send_response(200)
                     # raw NATIVE-endian s16 frames (audio/L16 would imply
@@ -208,7 +214,7 @@ def make_handler(manager: TTSManager):
                     # headers for generic clients
                     self.send_header("Content-Type",
                                      "application/octet-stream")
-                    self.send_header("X-Audio-Format", "s16le")
+                    self.send_header("X-Audio-Format", fmt)
                     self.send_header("X-Sample-Rate", str(sr))
                     self.send_header("X-Model", name)
                     self.send_header("Transfer-Encoding", "chunked")
