@@ -230,3 +230,15 @@ def test_sp_vocode_2d_mesh_dp_times_sp():
     with pytest.raises(ValueError):
         sp_vocode(gen.apply, v, mel[:3], mesh, axis=SEQ_AXIS,
                   batch_axis=DATA_AXIS)
+
+
+def test_sp_vocode_two_device_mesh():
+    """Smallest nontrivial SP split (n=2): edge-device geometry only
+    (sel offsets [2ov, 0], crops [0, 2ov]) — still exact."""
+    from tts_arabic_tpu.parallel import make_mesh, sp_vocode
+
+    mesh = make_mesh(n_devices=2)
+    gen, v, mel = _tiny_gen(F=2 * 40, B=1)
+    ref = np.asarray(gen.apply(v, mel))
+    got = np.asarray(sp_vocode(gen.apply, v, mel, mesh))
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=0)
