@@ -313,3 +313,31 @@ def test_export_bundle_capacity_guards(tmp_path, small_ckpt):
         b.tts(["Sifr", "kitAb"])  # > largest exported batch
     with pytest.raises(ValueError):
         b.tts(["b a " * 20])      # > largest exported text bucket
+
+
+def test_export_bundle_tacotron(tmp_path):
+    """Tacotron2 bundle round-trip: exported fused decode->truncate->vocode
+    programs reproduce the live pipeline's int16 output (same baked
+    PRNGKey(0) prenet rng, same EOS postprocess)."""
+    from tts_arabic_tpu.apps.export_serving import (Tacotron2ServingBundle,
+                                                    export_bundle_tacotron)
+    from tts_arabic_tpu.infer import Tacotron2Wave
+
+    out = export_bundle_tacotron(tmp_path / "t2b", batch_sizes=(2,),
+                                 text_buckets=(16,), mel_buckets=(64, 128),
+                                 max_steps=64)
+    b = Tacotron2ServingBundle(out)
+    texts = ["Sifr", "kitAb"]
+    got = b.tts(texts, denoise=0.004)
+
+    t2 = Tacotron2Wave(None, seed=0, arabic_in=False,
+                       compute_dtype=jnp.bfloat16)
+    t2.model.decoder_max_step = 64
+    ref = t2.tts(texts, denoise=0.004, batch_size=2, out_int16=True)
+    assert len(got) == 2
+    for g, r in zip(got, ref):
+        assert g.dtype == np.int16
+        assert g.shape == r.shape
+        np.testing.assert_allclose(g.astype(np.int32),
+                                   r.astype(np.int32), atol=8)  # <=2.5e-4
+
