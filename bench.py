@@ -118,17 +118,23 @@ def wait_for_backend(attempts: int = 8, delay_s: float = 75.0):
     if os.environ.get("BENCH_ALLOW_CPU"):
         return
     for i in range(attempts):
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; d = jax.devices(); "
-             "raise SystemExit(0 if d[0].platform != 'cpu' else 3)"],
-            capture_output=True)
-        if probe.returncode == 0:
+        # the half-dead tunnel can HANG backend init (observed: the axon
+        # plugin blocks at import), not just fail it — bound each probe
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); "
+                 "raise SystemExit(0 if d[0].platform != 'cpu' else 3)"],
+                capture_output=True, timeout=120)
+            rc, err = probe.returncode, probe.stderr.decode()[-400:]
+        except subprocess.TimeoutExpired:
+            rc, err = -1, "probe timed out (tunnel hang)"
+        if rc == 0:
             return
         if i == attempts - 1:
             raise RuntimeError(
                 "accelerator backend unavailable after "
-                f"{attempts} probes: {probe.stderr.decode()[-400:]}")
+                f"{attempts} probes: {err}")
         print(f"# backend unavailable; retry {i + 1}/{attempts} in "
               f"{delay_s:.0f}s", file=sys.stderr)
         time.sleep(delay_s)
