@@ -98,6 +98,13 @@ for i, chunk in enumerate(tts.stream("اَلسَّلامُ عَلَيكُم يَ
 for i, chunk in enumerate(taco.stream("صِفر", chunk_frames=64, denoise=0.0)):
     print(f"tacotron2 chunk {i}: {len(chunk) / taco.sample_rate:.2f}s")
 
+# %% paragraphs (beyond the reference): sentence-split -> batched -> joined
+from tts_arabic_tpu.infer import tts_long
+
+paragraph = "مَرحَباً بِكُم. كَيفَ حالُكُم؟ أَهلاً وَسَهلاً!"
+long_wave = tts_long(tts, paragraph, pause_s=0.2)
+print("paragraph:", len(long_wave) / tts.sample_rate, "s")
+
 # %% compact transfers (beyond the reference): waves can leave the chip as
 # int16 PCM or uint8 mu-law (quarter of the f32 transfer, ~38 dB — the
 # D2H link is the serving bottleneck on remote accelerators)
