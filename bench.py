@@ -106,17 +106,20 @@ def provenance():
     }
 
 
-def wait_for_backend(attempts: int = 8, delay_s: float = 75.0):
-    """The remote chip tunnel (axon platform) can drop transiently; retry
-    for ~10 min before giving up so a momentary outage at bench time
-    doesn't void the round's measurement. Probes in a SUBPROCESS each try
-    (jax caches a failed backend init within a process), and only returns
-    once a probe sees an accelerator. On a genuinely CPU-only host, set
-    BENCH_ALLOW_CPU=1 to skip the probe and benchmark the CPU backend
-    (slow, but meaningful as a smoke run)."""
+def wait_for_backend(attempts: int = 16, delay_s: float = 150.0):
+    """The remote chip tunnel (axon platform) can drop transiently — and
+    has been observed down for hours at a stretch — so retry for ~40 min
+    (override: BENCH_PROBE_ATTEMPTS / BENCH_PROBE_DELAY_S) before giving
+    up, so an outage at bench time doesn't void the round's measurement.
+    Probes in a SUBPROCESS each try (jax caches a failed backend init
+    within a process), and only returns once a probe sees an accelerator.
+    On a genuinely CPU-only host, set BENCH_ALLOW_CPU=1 to skip the probe
+    and benchmark the CPU backend (slow, but meaningful as a smoke run)."""
     import os
     if os.environ.get("BENCH_ALLOW_CPU"):
         return
+    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", attempts))
+    delay_s = float(os.environ.get("BENCH_PROBE_DELAY_S", delay_s))
     for i in range(attempts):
         # the half-dead tunnel can HANG backend init (observed: the axon
         # plugin blocks at import), not just fail it — bound each probe
