@@ -320,6 +320,71 @@ def collate_tacotron(batch: List[tuple], text_mult: int = 16,
             "gate_tgt": gate, "mel_lens": mel_lens}
 
 
+class VocoderSegmentDataset:
+    """Batches of random fixed-length waveform crops for vocoder GAN
+    training (upstream HiFi-GAN dataset semantics: one fresh random
+    segment per utterance visit; clips shorter than the segment are
+    zero-padded). Yields WHOLE batches, DynBatchDataset-style, so
+    `train.trainer.Trainer` can index batches directly. The reference
+    repo has no vocoder trainer (SURVEY.md §2.6 — its vocoder ships
+    pretrained); segment/batch defaults follow the published recipe.
+
+    `segment_length` must be a hop multiple: `audio/mel.py` pads
+    (n_fft-hop)/2 per side, so S samples give exactly S/hop mel frames
+    and the generator output aligns sample-for-sample with the crop."""
+
+    def __init__(self, txtpath, wavpath,
+                 label_pattern: str = DEFAULT_LABEL_PATTERN,
+                 segment_length: int = 8192, batch_size: int = 16,
+                 sr_target: int = 22050, seed: int = 0,
+                 cache: bool = False):
+        if segment_length % 256:
+            raise ValueError("segment_length must be a hop (256) multiple")
+        self.files = [e[1] for e in ArabDataset(
+            txtpath, wavpath, label_pattern, sr_target).data]
+        if not self.files:
+            raise ValueError(f"no usable wav entries in {txtpath}")
+        self.segment_length = segment_length
+        self.batch_size = batch_size
+        self.sr_target = sr_target
+        self.rng = np.random.default_rng(seed)
+        self.cache = {} if cache else None
+        self.shuffle()
+
+    def shuffle(self):
+        order = self.rng.permutation(len(self.files))
+        self.batches = [order[i: i + self.batch_size]
+                        for i in range(0, len(order), self.batch_size)]
+
+    def _load(self, idx: int) -> np.ndarray:
+        if self.cache is not None and idx in self.cache:
+            return self.cache[idx]
+        wave, _ = load_wav(self.files[idx], target_sr=self.sr_target)
+        if self.cache is not None:
+            self.cache[idx] = wave
+        return wave
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __getitem__(self, b_idx: int):
+        out = []
+        for idx in self.batches[b_idx]:
+            wave = self._load(int(idx))
+            S = self.segment_length
+            if len(wave) >= S:
+                start = int(self.rng.integers(0, len(wave) - S + 1))
+                out.append(wave[start: start + S])
+            else:
+                out.append(np.pad(wave, (0, S - len(wave))))
+        return out
+
+
+def collate_vocoder(batch: List[np.ndarray]) -> dict:
+    """Equal-length waveform crops -> {"wave": [B, S]} float32."""
+    return {"wave": np.stack(batch).astype(np.float32)}
+
+
 class WeightedSampler:
     """Weighted sampling without replacement (reference `train.py:150-156`
     balanced_sampling via torch WeightedRandomSampler; weights file from

@@ -7,10 +7,12 @@ inputs), plus feature-matching / LSGAN discriminator / generator losses.
 The reference ships its vocoder pretrained and never trains these
 (SURVEY.md §2.6), but they complete the vocoder-training capability surface.
 
-Weight norm is omitted (we fold it at import for inference; for training
-from scratch plain convs with the same shapes are used). The first MSD
-discriminator uses spectral norm in the reference; here it reuses the
-power-iteration SNConv pattern from `train.gan` in 1D form.
+Weight/spectral norm is omitted (we fold weight norm at import for
+inference; for training, plain convs with the same shapes are used — the
+reparametrizations change optimization dynamics, not capability, and the
+adversarial recipe is exercised end-to-end by `train.vocoder`). A `width`
+knob (default 1.0 = reference channel counts) exists so tests can train
+the full recipe at toy size.
 """
 from __future__ import annotations
 
@@ -29,6 +31,7 @@ class PeriodDiscriminator(nn.Module):
     period: int
     kernel_size: int = 5
     stride: int = 3
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, x):
@@ -41,13 +44,14 @@ class PeriodDiscriminator(nn.Module):
         x = x.reshape(B, T // p, p, 1)  # [B, T/p, period, 1] feature-last
 
         fmaps = []
-        for i, ch in enumerate([32, 128, 512, 1024]):
+        for i, ch in enumerate([max(int(c * self.width), 1)
+                                for c in (32, 128, 512, 1024)]):
             x = nn.Conv(ch, (self.kernel_size, 1), strides=(self.stride, 1),
                         padding=((2, 2), (0, 0)), name=f"conv_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmaps.append(x)
-        x = nn.Conv(1024, (self.kernel_size, 1), padding=((2, 2), (0, 0)),
-                    name="conv_4")(x)
+        x = nn.Conv(max(int(1024 * self.width), 1), (self.kernel_size, 1),
+                    padding=((2, 2), (0, 0)), name="conv_4")(x)
         x = nn.leaky_relu(x, LRELU_SLOPE)
         fmaps.append(x)
         x = nn.Conv(1, (3, 1), padding=((1, 1), (0, 0)),
@@ -57,17 +61,22 @@ class PeriodDiscriminator(nn.Module):
 
 
 class ScaleDiscriminator(nn.Module):
-    """1D grouped-conv stack (`DiscriminatorS`, models.py:202-227)."""
+    """1D grouped-conv stack (`DiscriminatorS`, models.py:202-227).
+    `width` scales channel counts (keep power-of-2 fractions so the
+    grouped convs stay divisible)."""
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, x):
         x = x[..., None]  # [B, T, 1]
         fmaps = []
+        w = self.width
         spec = [  # (channels, kernel, stride, groups)
             (128, 15, 1, 1), (128, 41, 2, 4), (256, 41, 2, 16),
             (512, 41, 4, 16), (1024, 41, 4, 16), (1024, 41, 1, 16),
             (1024, 5, 1, 1),
         ]
+        spec = [(max(int(c * w), g), k, s, g) for c, k, s, g in spec]
         for i, (ch, k, s, g) in enumerate(spec):
             x = nn.Conv(ch, (k,), strides=(s,), padding=[(k // 2, k // 2)],
                         feature_group_count=g, name=f"conv_{i}")(x)
@@ -80,12 +89,13 @@ class ScaleDiscriminator(nn.Module):
 
 class MultiPeriodDiscriminator(nn.Module):
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, y, y_hat):
         outs = ([], [], [], [])
         for p in self.periods:
-            d = PeriodDiscriminator(p, name=f"period_{p}")
+            d = PeriodDiscriminator(p, width=self.width, name=f"period_{p}")
             s_r, f_r = d(y)
             s_g, f_g = d(y_hat)
             outs[0].append(s_r)
@@ -97,6 +107,7 @@ class MultiPeriodDiscriminator(nn.Module):
 
 class MultiScaleDiscriminator(nn.Module):
     n_scales: int = 3
+    width: float = 1.0
 
     @nn.compact
     def __call__(self, y, y_hat):
@@ -107,7 +118,7 @@ class MultiScaleDiscriminator(nn.Module):
                                 padding=((2, 2),))[..., 0]
                 y_hat = nn.avg_pool(y_hat[..., None], (4,), strides=(2,),
                                     padding=((2, 2),))[..., 0]
-            d = ScaleDiscriminator(name=f"scale_{i}")
+            d = ScaleDiscriminator(width=self.width, name=f"scale_{i}")
             s_r, f_r = d(y)
             s_g, f_g = d(y_hat)
             outs[0].append(s_r)
