@@ -89,6 +89,36 @@ def test_width_scaling_preserves_default_shapes():
     assert msd["scale_0"]["conv_4"]["kernel"].shape[-1] == 1024
 
 
+def test_hifigan_dp_mesh_step():
+    """The vocoder step under the same DP mesh path as the other trainers:
+    batch sharded over 8 devices, params replicated, psum'd grads — loss
+    matches the single-device step (grad mean == full-batch grad: every
+    loss term is a mean over batch elements)."""
+    import optax
+
+    from tts_arabic_tpu.parallel import (data_parallel_jit, make_mesh,
+                                         replicate, shard_batch)
+
+    gen, mpd, msd = _tiny_modules()
+    tx_g = optax.adamw(1e-3, b1=0.8, b2=0.99)
+    tx_d = optax.adamw(1e-3, b1=0.8, b2=0.99)
+    state = init_vocoder_state(gen, mpd, msd, tx_g, tx_d, SEG)
+    step_fn = make_hifigan_train_step(gen, mpd, msd, tx_g, tx_d)
+    batch = _wave_batch(B=8)
+
+    ref_state, ref_meta = jax.jit(step_fn)(state, batch,
+                                           jax.random.PRNGKey(0))
+
+    mesh = make_mesh()
+    dp_step = data_parallel_jit(
+        lambda s, b: step_fn(s, b, jax.random.PRNGKey(0)), mesh)
+    state2, meta = dp_step(replicate(state, mesh), shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(meta["loss"]),
+                               float(ref_meta["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(meta["loss_d"]),
+                               float(ref_meta["loss_d"]), rtol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
     root = tmp_path_factory.mktemp("voc_corpus")
