@@ -9,8 +9,24 @@ Note: the live session's sitecustomize pre-imports jax and registers the
 we must also flip the already-imported config.
 """
 import os
+import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon TPU plugin (PYTHONPATH=/root/.axon_site) ignores
+# JAX_PLATFORMS=cpu: its registered backend factory dials the remote chip
+# tunnel inside backends() init, and a half-dead tunnel HANGS that connect
+# indefinitely (observed 2026-08-18: every CPU-only run blocked in
+# make_c_api_client). Tests are CPU-only by design — drop the plugin from
+# this process AND from child-process PYTHONPATHs (the multiprocess mesh
+# test spawns workers that inherit the env).
+sys.path[:] = [p for p in sys.path if "axon" not in p]
+if "PYTHONPATH" in os.environ:
+    _pp = [p for p in os.environ["PYTHONPATH"].split(os.pathsep)
+           if p and "axon" not in p]
+    if _pp:
+        os.environ["PYTHONPATH"] = os.pathsep.join(_pp)
+    else:
+        del os.environ["PYTHONPATH"]
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,6 +36,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# If a sitecustomize pre-imported jax, the plugin is already registered
+# and the path scrub above is too late — remove its backend factory
+# before anything initializes backends.
+try:
+    from jax._src import xla_bridge as _xb
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
 assert jax.devices()[0].platform == "cpu"
 
 import pathlib
