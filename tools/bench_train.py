@@ -8,6 +8,10 @@ configs/nawar_fp_adv.yaml (batch 10 x mel<=1000) and reports steps/s,
 mel-frames/s, and train MFU from XLA's compiled cost model.
 
 Usage: python tools/bench_train.py [--steps 20] [--batch 10] [--frames 1000]
+
+`--vocoder` instead benchmarks the HiFi-GAN adversarial vocoder step
+(train/vocoder.py: full-size generator + MPD/MSD at the published recipe
+shapes, segment 8192 x batch 16).
 """
 import argparse
 import pathlib
@@ -45,7 +49,17 @@ def main():
     ap.add_argument("--frames", type=int, default=1000)
     ap.add_argument("--tokens", type=int, default=160)
     ap.add_argument("--no-adv", action="store_true")
+    ap.add_argument("--vocoder", action="store_true",
+                    help="benchmark the HiFi-GAN vocoder GAN step instead")
+    ap.add_argument("--segment", type=int, default=8192)
+    ap.add_argument("--gen-channels", type=int, default=512,
+                    help="generator upsample_initial_channel (shrink for "
+                         "off-chip smoke runs)")
+    ap.add_argument("--disc-width", type=float, default=1.0)
     args = ap.parse_args()
+
+    if args.vocoder:
+        return bench_vocoder(args)
 
     from tts_arabic_tpu.models.fastpitch import FastPitch, FastPitchConfig
     from tts_arabic_tpu.train.gan import PatchDiscriminator
@@ -120,6 +134,58 @@ def main():
           f"mel-frames/s  {tf:.2f} TFLOP/s"
           + (f"  train_mfu={tf*1e12/peak:.3f} (bf16-peak roofline)"
              if peak else "")
+          + f"  loss={loss:.3f}")
+
+
+def bench_vocoder(args):
+    from tts_arabic_tpu.eval.flops import chip_peak_flops
+    from tts_arabic_tpu.train.vocoder import (init_vocoder_state,
+                                              make_hifigan_train_step)
+    from tts_arabic_tpu.vocoder.discriminators import (
+        MultiPeriodDiscriminator, MultiScaleDiscriminator)
+    from tts_arabic_tpu.vocoder.hifigan import Generator, HiFiGANConfig
+
+    B = 16 if args.batch == 10 else args.batch  # recipe default, overridable
+    S = args.segment
+    gen = Generator(HiFiGANConfig(
+        upsample_initial_channel=args.gen_channels))
+    mpd = MultiPeriodDiscriminator(width=args.disc_width)
+    msd = MultiScaleDiscriminator(width=args.disc_width)
+    import optax
+    tx_g = optax.adamw(2e-4, b1=0.8, b2=0.99)
+    tx_d = optax.adamw(2e-4, b1=0.8, b2=0.99)
+    state = init_vocoder_state(gen, mpd, msd, tx_g, tx_d, S)
+    step_fn = make_hifigan_train_step(gen, mpd, msd, tx_g, tx_d)
+    jit_step = jax.jit(step_fn, donate_argnums=0)
+
+    rng = np.random.default_rng(0)
+    t = np.arange(S) / 22050.0
+    wave = (0.4 * np.sin(2 * np.pi * 120.0 * t)[None]
+            + 0.05 * rng.standard_normal((B, S))).astype(np.float32)
+    batch = {"wave": jnp.asarray(wave)}
+    key = jax.random.PRNGKey(0)
+
+    t0 = time.perf_counter()
+    compiled = jax.jit(step_fn).lower(state, batch, key).compile()
+    cost = compiled.cost_analysis() or {}
+    step_flops = float(cost.get("flops", 0.0))
+    print(f"compile {time.perf_counter()-t0:.0f}s; XLA cost model: "
+          f"{step_flops/1e12:.2f} TFLOP/step", file=sys.stderr)
+
+    state, meta = jit_step(state, batch, key)
+    float(meta["loss"])
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, meta = jit_step(state, batch, key)
+    loss = float(meta["loss"])  # chain-blocks the whole run
+    dt = time.perf_counter() - t0
+    sps = args.steps / dt
+    peak = chip_peak_flops(dtype="bf16")
+    tf = step_flops * sps / 1e12
+    audio_sps = sps * B * S / 22050.0
+    print(f"vocoder B={B} S={S}: {sps:.2f} steps/s  "
+          f"{audio_sps:.1f} audio-sec/s trained  {tf:.2f} TFLOP/s"
+          + (f"  train_mfu={tf*1e12/peak:.3f}" if peak else "")
           + f"  loss={loss:.3f}")
 
 

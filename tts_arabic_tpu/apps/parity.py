@@ -85,8 +85,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.cpu:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+        from ..runtime.utils import force_cpu_backend
+        force_cpu_backend()
 
     _load_reference(args.reference_dir)
     root = pathlib.Path(__file__).resolve().parents[2]

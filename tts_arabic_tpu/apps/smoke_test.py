@@ -37,8 +37,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.cpu:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+        from ..runtime.utils import force_cpu_backend
+        force_cpu_backend()
     enable_compilation_cache()
 
     if args.model == "fastpitch":

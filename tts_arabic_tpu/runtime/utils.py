@@ -8,6 +8,32 @@ import jax
 import jax.numpy as jnp
 
 
+def force_cpu_backend():
+    """Force the CPU backend, robustly against remote-TPU plugins.
+
+    `jax.config.update("jax_platforms", "cpu")` alone is not enough with
+    the axon remote-TPU plugin on the path: its registered backend
+    factory dials the chip tunnel inside backends() init regardless, and
+    a half-dead tunnel hangs that connect indefinitely (observed
+    2026-08-18). For a `--cpu` run nothing remote is wanted — drop the
+    plugin's path entries, repoint JAX_PLATFORMS, and unregister its
+    backend factory before any backend initializes."""
+    import os
+
+    sys.path[:] = [p for p in sys.path if "axon" not in p]
+    if "PYTHONPATH" in os.environ:
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            p for p in os.environ["PYTHONPATH"].split(os.pathsep)
+            if p and "axon" not in p)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        from jax._src import xla_bridge as _xb
+        _xb._backend_factories.pop("axon", None)
+    except Exception:
+        pass
+
+
 def cast_floating(tree, dtype):
     """Cast every floating leaf of a pytree to `dtype` (int/bool leaves
     untouched); identity when dtype is None."""
