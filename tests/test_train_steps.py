@@ -250,3 +250,30 @@ def test_fastpitch_dp_full_size_step():
     _, meta_12 = jax.jit(step_fn)(state_1, batch_j, jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(meta_dp2["loss"]),
                                float(meta_12["loss"]), rtol=1e-4)
+
+
+def test_trainer_roundtrips_spectral_state(tmp_path):
+    """The power-iteration u/v vectors (reference: torch buffers inside
+    model_d) must survive Trainer save -> restore, not reset to random."""
+    import optax
+
+    from tts_arabic_tpu.train.trainer import Trainer
+
+    tx = optax.sgd(1e-3)
+    params = {"w": jnp.ones((2,))}
+    spec = {"u": jnp.arange(4.0)}
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.asarray(7), d_params={"dw": jnp.ones(3)},
+                       d_opt_state=tx.init({"dw": jnp.ones(3)}),
+                       d_spectral=spec)
+    tr = Trainer(lambda s, b, r: (s, {}), state,
+                 log_dir=tmp_path / "logs", checkpoint_dir=tmp_path / "ckpt",
+                 n_save_states_iter=1)
+    tr.save(7, epoch=0)
+
+    tr2 = Trainer(lambda s, b, r: (s, {}),
+                  state.replace(d_spectral={"u": jnp.zeros(4)}),
+                  log_dir=tmp_path / "l2", checkpoint_dir=tmp_path / "ckpt")
+    assert tr2.restore() == 7
+    np.testing.assert_array_equal(
+        np.asarray(tr2.state.d_spectral["u"]), np.arange(4.0))

@@ -64,6 +64,12 @@ class Trainer:
                     self.state.d_opt_state, st["optim_d"])
         if st.get("batch_stats") is not None:
             restored["extra"] = st["batch_stats"]
+        if (st.get("spectral_d") is not None
+                and self.state.d_spectral is not None):
+            # power-iteration u/v vectors (the reference checkpoints carry
+            # them as torch buffers inside model_d); re-converging from
+            # random costs a few steps, carrying them is exact
+            restored["d_spectral"] = st["spectral_d"]
         self.state = self.state.replace(**restored)
         return st["step"]
 
@@ -73,6 +79,8 @@ class Trainer:
         if self.state.d_params is not None:
             trees["model_d"] = self.state.d_params
             trees["optim_d"] = self.state.d_opt_state
+        if self.state.d_spectral is not None:
+            trees["spectral_d"] = self.state.d_spectral
         if self.state.extra is not None:
             trees["batch_stats"] = self.state.extra
         return self.ckpt.maybe_save(step, epoch=epoch,
