@@ -135,9 +135,21 @@ def wait_for_backend(attempts: int = 16, delay_s: float = 150.0):
         if rc == 0:
             return
         if i == attempts - 1:
+            prov = ""
+            try:
+                d = json.loads((ROOT / "BENCH_DETAIL.json").read_text())
+                prov = (" Last recorded chip run: headline "
+                        f"{d.get('rtf_headline_reported')}x, compute anchor "
+                        f"{d.get('compute_only_rtf')}x, MFU "
+                        f"{d.get('mfu_e2e')} @ "
+                        f"{d.get('provenance', {}).get('git_sha')} "
+                        f"{d.get('provenance', {}).get('utc')} "
+                        "(BENCH_DETAIL.json).")
+            except Exception:
+                pass
             raise RuntimeError(
                 "accelerator backend unavailable after "
-                f"{attempts} probes: {err}")
+                f"{attempts} probes (tunnel outage): {err}.{prov}")
         print(f"# backend unavailable; retry {i + 1}/{attempts} in "
               f"{delay_s:.0f}s", file=sys.stderr)
         time.sleep(delay_s)
