@@ -79,7 +79,19 @@ class FastPitchConfig:
     def from_reference_net_config(cls, net_config: dict) -> "FastPitchConfig":
         """Map a reference-style `net_config` dict (the layout embedded in
         its checkpoints) onto this config."""
-        m = {
+        m = _REF_NET_CONFIG_KEYMAP
+        kwargs = {m[k]: v for k, v in net_config.items() if k in m}
+        return cls(**kwargs)
+
+    def to_reference_net_config(self) -> dict:
+        """Inverse mapping: emit the reference-style `net_config` dict
+        (`models/fastpitch/__init__.py:3-41` keys) for checkpoints exported
+        back to the reference (`models/torch_export.py`)."""
+        return {ref_k: getattr(self, our_k)
+                for ref_k, our_k in _REF_NET_CONFIG_KEYMAP.items()}
+
+
+_REF_NET_CONFIG_KEYMAP = {
             "n_mel_channels": "n_mel_channels",
             "n_symbols": "n_symbols",
             "padding_idx": "padding_idx",
@@ -117,9 +129,7 @@ class FastPitchConfig:
             "energy_embedding_kernel_size": "energy_emb_kernel_size",
             "n_speakers": "n_speakers",
             "speaker_emb_weight": "speaker_emb_weight",
-        }
-        kwargs = {m[k]: v for k, v in net_config.items() if k in m}
-        return cls(**kwargs)
+}
 
 
 def regulate_len(durations, enc_out, max_frames: int, pace: float = 1.0):
