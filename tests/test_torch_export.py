@@ -233,3 +233,38 @@ def test_export_torch_cli_fastpitch(fp_vars, tmp_path):
     assert cfg2 == config
     back = fastpitch_params_from_torch(flat, config)
     _tree_allclose(variables["params"], back["params"], atol=1e-6)
+
+
+def test_tacotron2_export_strict_load_oracle():
+    """Key-set completeness vs the state-dict-compatible torchaudio-layout
+    oracle (tests/t2_oracle.py; torchaudio itself is absent here). Uses
+    the oracle's tiny dims to keep it fast."""
+    from t2_oracle import Tacotron2Oracle
+
+    kw = dict(n_symbols=40, num_speakers=4, speaker_embedding_dim=8,
+              symbol_embedding_dim=16, encoder_embedding_dim=16,
+              encoder_n_convolutions=2, encoder_kernel_size=3,
+              decoder_rnn_dim=24, attention_rnn_dim=24,
+              attention_hidden_dim=12, attention_location_n_filters=4,
+              attention_location_kernel_size=7, prenet_dim=8,
+              postnet_n_convolutions=2, postnet_kernel_size=3,
+              postnet_embedding_dim=12, n_mels=80)
+    config = Tacotron2Config(**kw)
+    model = Tacotron2(config)
+    tokens = jnp.asarray(np.arange(1, 9)[None], jnp.int32)
+    variables = model.init(
+        jax.random.PRNGKey(0), tokens, jnp.asarray([8], jnp.int32),
+        jnp.zeros((1, 12, 80)), jnp.asarray([12], jnp.int32),
+        speaker_ids=jnp.asarray([0], jnp.int32))
+    sd = tacotron2_params_to_torch(variables, config)
+
+    ref_kw = {("n_symbol" if k == "n_symbols" else
+               "encoder_n_convolution" if k == "encoder_n_convolutions" else
+               "attention_location_n_filter"
+               if k == "attention_location_n_filters" else
+               "postnet_n_convolution" if k == "postnet_n_convolutions"
+               else k): v for k, v in kw.items()}
+    oracle = Tacotron2Oracle(**ref_kw)
+    missing, unexpected = oracle.load_state_dict(_torchify(sd), strict=False)
+    assert not missing, missing
+    assert not unexpected, unexpected
