@@ -341,3 +341,67 @@ def test_export_bundle_tacotron(tmp_path):
         np.testing.assert_allclose(g.astype(np.int32),
                                    r.astype(np.int32), atol=8)  # <=2.5e-4
 
+
+
+@pytest.fixture(scope="module")
+def eval_corpus(tmp_path_factory):
+    """Tiny labels-file + wav-dir corpus for the evaluate CLI."""
+    from tts_arabic_tpu.audio.io import save_wav
+    root = tmp_path_factory.mktemp("evalcorpus")
+    wav_dir = root / "wav"
+    wav_dir.mkdir()
+    rng = np.random.default_rng(0)
+    phon = ["m aa + s a l aa m", "k ii0 f + H aa l u0 k", "d a r s"]
+    lines = []
+    for i, p in enumerate(phon):
+        t = np.arange(int(0.7 * 22050)) / 22050.0
+        w = (0.3 * np.sin(2 * np.pi * (150 + 40 * i) * t)
+             * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+             + 0.01 * rng.standard_normal(t.shape))
+        name = f"utt{i}.wav"
+        save_wav(wav_dir / name, w.astype(np.float32))
+        lines.append(f'"{name}" "{p}"')
+    labels = root / "labels.txt"
+    labels.write_text("\n".join(lines) + "\n")
+    return labels, wav_dir
+
+
+def test_evaluate_cli_copy_synthesis(tmp_path, eval_corpus):
+    """evaluate CLI end-to-end in metric-sanity mode: prediction := ground
+    truth, so MCD and every DTW-aligned delta must be exactly ~0 and the
+    JSON schema complete (VERDICT r3 #5; reference runner equivalent:
+    utils/oversmoothing.py:524-632)."""
+    from tts_arabic_tpu.apps import evaluate
+    labels, wav_dir = eval_corpus
+    out = tmp_path / "metrics.json"
+    evaluate.main(["--labels", str(labels), "--wav-dir", str(wav_dir),
+                   "--copy-synthesis", "--out", str(out)])
+    report = json.loads(out.read_text())
+    assert report["n_utterances"] == 3
+    assert len(report["per_utterance"]) == 3
+    agg = report["aggregate"]
+    assert set(agg) and all(np.isfinite(v) for v in agg.values()), agg
+    assert abs(agg["mcd"]) < 1e-6
+    for r in report["per_utterance"]:
+        assert r["mcd"] < 1e-6
+        for k, v in r.items():
+            if k.startswith(("mae_", "delta_u_")):
+                assert abs(v) < 1e-6, (k, v)
+
+
+def test_evaluate_cli_synthesizes_and_scores(tmp_path, eval_corpus,
+                                             small_ckpt):
+    """evaluate CLI full path: load checkpoint, synthesize the corpus
+    transcripts, DTW-align vs ground-truth mels, aggregate finite
+    metrics."""
+    from tts_arabic_tpu.apps import evaluate
+    labels, wav_dir = eval_corpus
+    out = tmp_path / "metrics.json"
+    evaluate.main(["--labels", str(labels), "--wav-dir", str(wav_dir),
+                   "--checkpoint", str(small_ckpt), "--batch-size", "2",
+                   "--out", str(out)])
+    report = json.loads(out.read_text())
+    assert report["n_utterances"] == 3
+    agg = report["aggregate"]
+    assert np.isfinite(agg["mcd"]) and agg["mcd"] > 0
+    assert all(np.isfinite(v) for v in agg.values()), agg

@@ -239,3 +239,26 @@ def test_longform_rejects_return_mel(pipe):
     from tts_arabic_tpu.infer import tts_long
     with pytest.raises(ValueError):
         tts_long(pipe, "Sifr. wAHid", return_mel=True)
+
+
+def test_tts_trailing_punctuation_graceful(pipe):
+    """VERDICT r3 #5: the default path must not crash on sentence-final
+    punctuation (the reference raises KeyError, text/__init__.py:24-27;
+    that behavior stays available behind strict_text=True)."""
+    w = pipe.tts("كيف حالك؟", denoise=0.0)
+    assert len(w) > 0 and np.isfinite(w).all()
+    # a trailing '.' strips to exactly the same ids as the bare sentence
+    w_dot = pipe.tts(ARABIC + ".", denoise=0.0)
+    w_bare = pipe.tts(ARABIC, denoise=0.0)
+    assert w_dot.shape == w_bare.shape
+    np.testing.assert_allclose(w_dot, w_bare, atol=1e-5)
+
+
+def test_strict_text_reproduces_reference_keyerror():
+    strict = FastPitchTTS(seed=0, strict_text=True)
+    with pytest.raises(KeyError):
+        strict.tokenize(ARABIC + ".")
+    # the graceful default on the same object family tokenizes fine
+    lax = FastPitchTTS(seed=0)
+    ids = lax.tokenize(ARABIC + ".")
+    np.testing.assert_array_equal(ids, lax.tokenize(ARABIC))

@@ -186,3 +186,20 @@ def test_host_list_path_honors_out_int16(pipe):
     for r, p in zip(ref, pcm):
         assert p.dtype == np.int16 and p.shape == r.shape
         np.testing.assert_allclose(p / 32767.0, r, atol=2e-4, rtol=0)
+
+
+def test_tts_trailing_punctuation_graceful(pipe):
+    """VERDICT r3 #5: Tacotron2 path handles sentence-final punctuation
+    (token-level sanitize keeps the EOS-postprocess attention index
+    consistent with the id sequence); strict_text=True restores the
+    reference KeyError (text/__init__.py:24-27)."""
+    w = pipe.tts("كيف حالك؟", denoise=0.0)
+    assert w.ndim == 1 and len(w) > 0 and np.isfinite(w).all()
+    w_dot = pipe.tts(ARABIC + ".", denoise=0.0)
+    w_bare = pipe.tts(ARABIC, denoise=0.0)
+    assert w_dot.shape == w_bare.shape
+    np.testing.assert_allclose(w_dot, w_bare, atol=1e-5)
+
+    strict = Tacotron2Wave(seed=0, config=SMALL, strict_text=True)
+    with pytest.raises(KeyError):
+        strict.model.tokenize(ARABIC + ".")

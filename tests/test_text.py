@@ -128,3 +128,22 @@ def test_parity_with_reference_implementation(reference_dir):
         s = "".join(random.choice(alphabet)
                     for _ in range(random.randint(1, 16)))
         assert process_utterance(s) == ref_pu(s), repr(s)
+
+
+def test_sanitize_tokens_and_nonstrict_ids():
+    """Graceful tokenization (VERDICT r3 #5): unknown tokens drop,
+    separator runs collapse, leading separator drops; identity on clean
+    sequences. strict tokens_to_ids keeps the reference KeyError."""
+    from tts_arabic_tpu.text import sanitize_tokens, tokens_to_ids
+
+    clean = ["k", "ii", "f", "_+_", "H", "aa", "l", "k", "_eos_"]
+    assert sanitize_tokens(clean) == clean
+
+    dirty = ["_+_", "m", "r", ".", "_+_", "_+_", "b", "?", "_eos_"]
+    assert sanitize_tokens(dirty) == ["m", "r", "_+_", "b", "_eos_"]
+    assert tokens_to_ids(dirty, strict=False) == tokens_to_ids(
+        ["m", "r", "_+_", "b", "_eos_"])
+
+    import pytest
+    with pytest.raises(KeyError):
+        tokens_to_ids(dirty)

@@ -50,6 +50,42 @@ def test_tp_shardings_touch_only_the_ffn_pair(model_vars_tokens):
         assert "ff" in path and path[-2] in ("conv1", "conv2"), path
 
 
+def test_mesh_dp_tp_rejects_too_few_devices():
+    with pytest.raises(ValueError, match="needs 16 devices"):
+        make_mesh_dp_tp(4, 4)  # virtual mesh has 8
+
+
+def test_tp_compiles_exactly_one_all_reduce_per_ffn(model_vars_tokens):
+    """The load-bearing perf property (tp.py docstring): each ConvFFN's
+    row-parallel conv2 contributes exactly ONE all-reduce of partial
+    sums, and the hidden [B, T, d_inner/n] activation is never resharded
+    (no all-gather / all-to-all / collective-permute between the convs).
+    Pinned by counting collectives in the compiled HLO so a layer change
+    that regresses to activation resharding fails loudly even though
+    exactness tests still pass."""
+    model, variables, tokens = model_vars_tokens
+    mesh = make_mesh_dp_tp(2, 4)
+    fn, sharded_vars = tp_mel_infer_jit(model, variables, mesh,
+                                        max_frames=64)
+    hlo = fn.lower(sharded_vars, tokens).compile().as_text()
+    n_ffn = CFG.enc_n_layers + CFG.dec_n_layers
+    # one all-reduce per FFN block + at most one for the replicated
+    # output spec (GSPMD sometimes folds it into an existing reduce)
+    import re
+    n_ar = len(re.findall(r"\ball-reduce(?:-start)?\(", hlo))
+    assert n_ffn <= n_ar <= n_ffn + 1, f"all-reduce count {n_ar}"
+    assert not re.search(r"\ball-to-all\(", hlo)
+    assert not re.search(r"\bcollective-permute(?:-start)?\(", hlo)
+    # the ONLY all-gathers allowed are the replicated-output collections
+    # (mel + mel_lens) over the batch axis — dimensions={0}; an FFN
+    # activation reshard would gather the hidden (minor) dimension
+    ag_lines = [l for l in hlo.splitlines()
+                if re.search(r"\ball-gather(?:-start)?\(", l)]
+    assert len(ag_lines) <= 2, ag_lines
+    for line in ag_lines:
+        assert "dimensions={0}" in line, f"non-batch all-gather: {line}"
+
+
 def test_tp_infer_matches_single_device(model_vars_tokens):
     model, variables, tokens = model_vars_tokens
     mesh = make_mesh_dp_tp(2, 4)

@@ -33,6 +33,10 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--out", default=None)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--copy-synthesis", action="store_true",
+                        help="use the ground-truth mel as the prediction "
+                        "(no model): sanity-checks the metric plumbing — "
+                        "MCD and every DTW-aligned delta must come out 0")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -44,32 +48,37 @@ def main(argv=None):
                      label_pattern=DEFAULT_LABEL_PATTERN)
     n = min(len(ds), args.limit or len(ds))
 
-    if args.model == "fastpitch":
-        from ..infer import FastPitchTTS
-        model = FastPitchTTS(args.checkpoint, arabic_in=False)
+    if args.copy_synthesis:
+        # prediction := ground truth — metric-plumbing sanity mode (MCD and
+        # every DTW-aligned delta must come out exactly 0)
+        mels_pred = [ds._load_logmel(ds.data[i][1])[0] for i in range(n)]
     else:
-        from ..infer import Tacotron2TTS
-        model = Tacotron2TTS(args.checkpoint, arabic_in=False)
-
-    # synthesize from the corpus phoneme transcripts (already tokenized by
-    # the dataset, so G2P differences can't skew the comparison)
-    from ..text import ids_to_tokens
-    mels_pred = []
-    for k in range(0, n, args.batch_size):
-        ids_list = [np.asarray(ds.data[i][0])
-                    for i in range(k, min(n, k + args.batch_size))]
         if args.model == "fastpitch":
-            mel, mel_lens, inverse, _ = model._infer_batch_mel(
-                ids_list, 1.0, 0, 1.0, 0.0)
-            mel = np.asarray(mel)
-            for i in inverse:
-                mels_pred.append(mel[i, : mel_lens[i]].T)
+            from ..infer import FastPitchTTS
+            model = FastPitchTTS(args.checkpoint, arabic_in=False)
         else:
-            tokens_list = [ids_to_tokens(x) for x in ids_list]
-            mel_post, mel_lens, _, _, inverse = model._infer_batch(
-                tokens_list, 0)
-            for j, i in enumerate(inverse):
-                mels_pred.append(mel_post[i, : mel_lens[i]].T)
+            from ..infer import Tacotron2TTS
+            model = Tacotron2TTS(args.checkpoint, arabic_in=False)
+
+        # synthesize from the corpus phoneme transcripts (already tokenized
+        # by the dataset, so G2P differences can't skew the comparison)
+        from ..text import ids_to_tokens
+        mels_pred = []
+        for k in range(0, n, args.batch_size):
+            ids_list = [np.asarray(ds.data[i][0])
+                        for i in range(k, min(n, k + args.batch_size))]
+            if args.model == "fastpitch":
+                mel, mel_lens, inverse, _ = model._infer_batch_mel(
+                    ids_list, 1.0, 0, 1.0, 0.0)
+                mel = np.asarray(mel)
+                for i in inverse:
+                    mels_pred.append(mel[i, : mel_lens[i]].T)
+            else:
+                tokens_list = [ids_to_tokens(x) for x in ids_list]
+                mel_post, mel_lens, _, _, inverse = model._infer_batch(
+                    tokens_list, 0)
+                for j, i in enumerate(inverse):
+                    mels_pred.append(mel_post[i, : mel_lens[i]].T)
 
     per_utt = []
     for i in range(n):

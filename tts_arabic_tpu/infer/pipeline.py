@@ -112,13 +112,20 @@ class FastPitchTTS:
 
     def __init__(self, checkpoint=None, config: FastPitchConfig | None = None,
                  arabic_in: bool = True, vowelizer: Optional[str] = None,
-                 seed: int = 0, mesh=None):
+                 seed: int = 0, mesh=None, strict_text: bool = False):
         """mesh: optional `jax.sharding.Mesh` (see `parallel.make_mesh`) for
         data-parallel synthesis — params replicate, the batch axis shards
         across chips (the reference has no multi-device story, SURVEY.md
         §2.10; batched TTS is embarrassingly parallel so DP over ICI is the
-        whole design). Single-chip is the degenerate 1-device case."""
+        whole design). Single-chip is the degenerate 1-device case.
+
+        strict_text: False (default) tokenizes any real-world sentence —
+        tokens outside the symbol table (trailing '.'/'!' punctuation and
+        the like) are dropped gracefully. True reproduces the reference's
+        KeyError on unknown tokens bit-for-bit (reference
+        `text/__init__.py:24-27`) for bug-parity testing."""
         self.arabic_in = arabic_in
+        self.strict_text = strict_text
         self.default_vowelizer = vowelizer
         self._vowelizers = {}
         self.phon_to_id = None
@@ -185,7 +192,8 @@ class FastPitchTTS:
         else:
             tokens = text_frontend.buckwalter_to_tokens(utterance,
                                                         append_space=False)
-        ids = text_frontend.tokens_to_ids(tokens, self.phon_to_id)
+        ids = text_frontend.tokens_to_ids(tokens, self.phon_to_id,
+                                          strict=self.strict_text)
         return np.asarray(ids, np.int32)
 
     def tokenize_batch(self, batch: List[str],
@@ -204,7 +212,8 @@ class FastPitchTTS:
         to_tokens = (text_frontend.arabic_to_tokens if self.arabic_in
                      else text_frontend.buckwalter_to_tokens)
         return [np.asarray(text_frontend.tokens_to_ids(
-            to_tokens(v, append_space=False), self.phon_to_id), np.int32)
+            to_tokens(v, append_space=False), self.phon_to_id,
+            strict=self.strict_text), np.int32)
             for v in vowelized]
 
     # -- jitted phases -------------------------------------------------------
@@ -355,7 +364,8 @@ class FastPitch2Wave:
                  vocoder_config=None, vowelizer: Optional[str] = None,
                  arabic_in: bool = True, config=None, seed: int = 0,
                  compute_dtype=None, vocoder_type: str = "hifigan",
-                 mesh=None, mrf_strategy: str = "auto"):
+                 mesh=None, mrf_strategy: str = "auto",
+                 strict_text: bool = False):
         """compute_dtype: jnp.bfloat16 runs the decoder+vocoder hot path on
         the MXU's native bf16 (~2x on TPU); weights stay fp32 in memory and
         are cast at trace time; the spectral denoiser stays fp32. None =
@@ -381,7 +391,8 @@ class FastPitch2Wave:
         self.vocoder_type = vocoder_type
         self.model = FastPitchTTS(model_sd_path, config=config,
                                   arabic_in=arabic_in, vowelizer=vowelizer,
-                                  seed=seed, mesh=mesh)
+                                  seed=seed, mesh=mesh,
+                                  strict_text=strict_text)
         if vocoder_type == "vocos":
             from ..vocoder.vocos import CONFIG_22K, MelVocosModule
             from ..models.torch_import import vocos_params_from_torch

@@ -73,14 +73,19 @@ class Tacotron2TTS:
     def __init__(self, checkpoint=None, config: Tacotron2Config | None = None,
                  arabic_in: bool = True, vowelizer: Optional[str] = None,
                  decoder_max_step: int = 3000, seed: int = 0,
-                 compute_dtype=None):
+                 compute_dtype=None, strict_text: bool = False):
         """compute_dtype: jnp.bfloat16 runs the autoregressive decode in
         bf16 (measured 1.25x e2e on TPU v5e, waveform deviation ~0.5%
         rel-RMSE vs f32 with unchanged decode lengths; the per-step LSTM +
         attention weight streaming is HBM-bound, so halving weight bytes
         is most of the step). None (default) = full f32 for exact
-        reference parity."""
+        reference parity.
+
+        strict_text: False (default) drops tokens outside the symbol
+        table (trailing punctuation); True reproduces the reference
+        KeyError (`text/__init__.py:24-27`) for bug-parity testing."""
         self.arabic_in = arabic_in
+        self.strict_text = strict_text
         self.compute_dtype = compute_dtype
         self.default_vowelizer = vowelizer
         self._vowelizers = {}
@@ -143,8 +148,16 @@ class Tacotron2TTS:
     def tokenize(self, utterance: str, vowelizer: Optional[str] = None):
         utterance = self._vowelize(utterance, vowelizer)
         if self.arabic_in:
-            return text_frontend.arabic_to_tokens(utterance)
-        return text_frontend.buckwalter_to_tokens(utterance)
+            toks = text_frontend.arabic_to_tokens(utterance)
+        else:
+            toks = text_frontend.buckwalter_to_tokens(utterance)
+        if not self.strict_text:
+            # sanitize at the TOKEN level so every downstream consumer
+            # (EOS-postprocess index, attention-column gather, ids) sees
+            # one consistent sequence (strict=True keeps the reference
+            # KeyError-on-punctuation behavior, text/__init__.py:24-27)
+            toks = text_frontend.sanitize_tokens(toks, self.phon_to_id)
+        return toks
 
     def tokenize_batch(self, batch: List[str],
                        vowelizer: Optional[str] = None):
@@ -160,7 +173,11 @@ class Tacotron2TTS:
         vowelized = self._vowelizers[name].predict(arabic)
         to_tokens = (text_frontend.arabic_to_tokens if self.arabic_in
                      else text_frontend.buckwalter_to_tokens)
-        return [to_tokens(v) for v in vowelized]
+        toks_list = [to_tokens(v) for v in vowelized]
+        if not self.strict_text:
+            toks_list = [text_frontend.sanitize_tokens(t, self.phon_to_id)
+                         for t in toks_list]
+        return toks_list
 
     # -- jitted inference ----------------------------------------------------
 
@@ -182,8 +199,9 @@ class Tacotron2TTS:
         """Token lists -> device handles (ASYNC, no host sync):
         (out dict, token lens, inverse order)."""
         n_real = len(tokens_list)
-        ids_list = [np.asarray(text_frontend.tokens_to_ids(t, self.phon_to_id),
-                               np.int32) for t in tokens_list]
+        ids_list = [np.asarray(text_frontend.tokens_to_ids(
+            t, self.phon_to_id, strict=self.strict_text), np.int32)
+            for t in tokens_list]
         lens = np.asarray([len(x) for x in ids_list])
         order = np.argsort(-lens)
         ids_sorted = [ids_list[i] for i in order]
@@ -280,13 +298,15 @@ class Tacotron2Wave:
     def __init__(self, model_sd_path=None, vocoder_sd=None,
                  vocoder_config=None, vowelizer: Optional[str] = None,
                  arabic_in: bool = True, config=None, seed: int = 0,
-                 compute_dtype=None, mrf_strategy: str = "auto"):
+                 compute_dtype=None, mrf_strategy: str = "auto",
+                 strict_text: bool = False):
         """mrf_strategy: HiFi-GAN MRF implementation — same knob as
         `FastPitch2Wave` (docs/PERF.md; "auto" = packed-lane XLA rewrite
         at 32 channels)."""
         self.model = Tacotron2TTS(model_sd_path, config=config,
                                   arabic_in=arabic_in, vowelizer=vowelizer,
-                                  seed=seed, compute_dtype=compute_dtype)
+                                  seed=seed, compute_dtype=compute_dtype,
+                                  strict_text=strict_text)
         vocoder_sd, vocoder_config = _default_vocoder_paths(
             vocoder_sd, vocoder_config,
             enabled=model_sd_path is not None)
@@ -374,9 +394,12 @@ class Tacotron2Wave:
                                          static_argnames=("bucket",))
         m = self.model
         n_real = len(tokens_list)
-        ids_list = [np.asarray(text_frontend.tokens_to_ids(t, m.phon_to_id),
-                               np.int32) for t in tokens_list]
-        trunc = np.asarray([len(t) - N_EOS - 1 for t in tokens_list],
+        ids_list = [np.asarray(text_frontend.tokens_to_ids(
+            t, m.phon_to_id, strict=m.strict_text), np.int32)
+            for t in tokens_list]
+        # end-marker index from the ID count (non-strict tokenization may
+        # drop unknown tokens, shifting positions vs the token list)
+        trunc = np.asarray([len(x) - N_EOS - 1 for x in ids_list],
                            np.int32)
         post = np.asarray(do_post, bool)
         lens = np.asarray([len(x) for x in ids_list])
@@ -555,8 +578,8 @@ class Tacotron2Wave:
         reset to the batch path's LOG_MEL_PAD."""
         m = self.model
         toks = m.tokenize(utterance, vowelizer)
-        ids = np.asarray(text_frontend.tokens_to_ids(toks, m.phon_to_id),
-                         np.int32)
+        ids = np.asarray(text_frontend.tokens_to_ids(
+            toks, m.phon_to_id, strict=m.strict_text), np.int32)
         padded = _pad_ids([ids], _round_up(len(ids), TEXT_BUCKET))
         if not hasattr(self, "_seg_jit"):
             self._make_stream_jits()

@@ -39,6 +39,10 @@ def make_mesh_2d(n_data: int, n_seq: int, devices=None) -> Mesh:
     its halo ppermutes ride adjacent-chip ICI links."""
     if devices is None:
         devices = jax.devices()
+    if len(devices) < n_data * n_seq:
+        raise ValueError(
+            f"make_mesh_2d({n_data}, {n_seq}) needs "
+            f"{n_data * n_seq} devices, got {len(devices)}")
     devices = np.asarray(devices[: n_data * n_seq])
     return Mesh(devices.reshape(n_data, n_seq), (DATA_AXIS, SEQ_AXIS))
 

@@ -52,6 +52,10 @@ def make_mesh_dp_tp(n_data: int, n_model: int, devices=None) -> Mesh:
     so each FFN all-reduce rides adjacent-chip ICI links."""
     if devices is None:
         devices = jax.devices()
+    if len(devices) < n_data * n_model:
+        raise ValueError(
+            f"make_mesh_dp_tp({n_data}, {n_model}) needs "
+            f"{n_data * n_model} devices, got {len(devices)}")
     devices = np.asarray(devices[: n_data * n_model])
     return Mesh(devices.reshape(n_data, n_model), (DATA_AXIS, MODEL_AXIS))
 
@@ -64,7 +68,10 @@ def fastpitch_tp_shardings(variables, mesh: Mesh):
 
     def spec(path, leaf):
         names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
-        if "ff" in names and len(names) >= 2:
+        # require 'ff' to be conv1/conv2's DIRECT parent so only the
+        # FFT-block ConvFFN params match (a nested module containing an
+        # 'ff' component further up must not get sharded by accident)
+        if len(names) >= 3 and names[-3] == "ff":
             mod, param = names[-2], names[-1]
             if mod == "conv1" and param == "kernel":
                 return P(None, None, MODEL_AXIS)

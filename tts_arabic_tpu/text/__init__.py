@@ -11,7 +11,7 @@ from .symbols import (
 from .tokenizer import (
     VOWEL_MAP, arabic_to_phonemes, arabic_to_tokens, buckwalter_to_phonemes,
     buckwalter_to_tokens, ids_to_tokens, phonemes_to_tokens,
-    simplify_phonemes, tokens_to_ids,
+    sanitize_tokens, simplify_phonemes, tokens_to_ids,
 )
 
 __all__ = [
@@ -21,5 +21,6 @@ __all__ = [
     "PADDING_TOKEN", "EOS_TOKEN", "DOUBLING_TOKEN", "SEPARATOR_TOKEN",
     "EOS_TOKENS", "VOWEL_MAP", "arabic_to_phonemes", "arabic_to_tokens",
     "buckwalter_to_phonemes", "buckwalter_to_tokens", "ids_to_tokens",
-    "phonemes_to_tokens", "simplify_phonemes", "tokens_to_ids",
+    "phonemes_to_tokens", "sanitize_tokens", "simplify_phonemes",
+    "tokens_to_ids",
 ]

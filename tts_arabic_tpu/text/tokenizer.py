@@ -45,9 +45,44 @@ def phonemes_to_tokens(phonemes: str, append_space: bool = True) -> list[str]:
     return out
 
 
-def tokens_to_ids(tokens: list[str], phon_to_id: dict | None = None) -> list[int]:
+def tokens_to_ids(tokens: list[str], phon_to_id: dict | None = None,
+                  strict: bool = True) -> list[int]:
+    """Token strings -> model ids.
+
+    `strict=True` reproduces the reference behavior exactly — a token
+    outside the symbol table raises KeyError (reference
+    `text/__init__.py:24-27` crashes on trailing punctuation like
+    `"..."` this way). `strict=False` degrades gracefully: unknown
+    tokens are dropped and the separator runs that punctuation
+    stripping leaves behind are collapsed (a leading separator is
+    dropped too), so any real-world sentence tokenizes.
+    """
     table = SYMBOL_TO_ID if phon_to_id is None else phon_to_id
-    return [table[t] for t in tokens]
+    if strict:
+        return [table[t] for t in tokens]
+    return [table[t] for t in sanitize_tokens(tokens, phon_to_id)]
+
+
+def sanitize_tokens(tokens: list[str],
+                    phon_to_id: dict | None = None) -> list[str]:
+    """Graceful-degradation filter for real-world text: drop tokens the
+    symbol table doesn't know (punctuation the G2P passes through),
+    collapse the separator runs that leaves behind, and drop a leading
+    separator. Identity on any token list that already maps cleanly."""
+    table = SYMBOL_TO_ID if phon_to_id is None else phon_to_id
+    out: list[str] = []
+    prev_sep = True  # drop a leading separator
+    for t in tokens:
+        if t not in table:
+            continue
+        if t == SEPARATOR:
+            if prev_sep:
+                continue
+            prev_sep = True
+        else:
+            prev_sep = False
+        out.append(t)
+    return out
 
 
 def ids_to_tokens(ids) -> list[str]:
