@@ -152,11 +152,14 @@ class Tacotron2TTS:
         else:
             toks = text_frontend.buckwalter_to_tokens(utterance)
         if not self.strict_text:
-            # sanitize at the TOKEN level so every downstream consumer
-            # (EOS-postprocess index, attention-column gather, ids) sees
-            # one consistent sequence (strict=True keeps the reference
-            # KeyError-on-punctuation behavior, text/__init__.py:24-27)
+            # sanitize ONCE, at the TOKEN level, so every downstream
+            # consumer (EOS-postprocess index, attention-column gather,
+            # strict ids mapping at dispatch) sees one consistent sequence
             toks = text_frontend.sanitize_tokens(toks, self.phon_to_id)
+        else:
+            # reference bug-parity: raise the KeyError-on-punctuation
+            # (text/__init__.py:24-27) eagerly at the tokenize boundary
+            text_frontend.tokens_to_ids(toks, self.phon_to_id)
         return toks
 
     def tokenize_batch(self, batch: List[str],
@@ -199,9 +202,13 @@ class Tacotron2TTS:
         """Token lists -> device handles (ASYNC, no host sync):
         (out dict, token lens, inverse order)."""
         n_real = len(tokens_list)
+        # tokenize()/tokenize_batch() already sanitized these lists (unless
+        # strict_text, where raising IS the reference behavior) — map
+        # strictly so the EOS-postprocess separator _prepare_tokens inserts
+        # (`.. _+_ _+_ _eos_`) is NOT re-collapsed by a second sanitize
+        # pass, keeping ids aligned with token positions.
         ids_list = [np.asarray(text_frontend.tokens_to_ids(
-            t, self.phon_to_id, strict=self.strict_text), np.int32)
-            for t in tokens_list]
+            t, self.phon_to_id), np.int32) for t in tokens_list]
         lens = np.asarray([len(x) for x in ids_list])
         order = np.argsort(-lens)
         ids_sorted = [ids_list[i] for i in order]
@@ -394,11 +401,11 @@ class Tacotron2Wave:
                                          static_argnames=("bucket",))
         m = self.model
         n_real = len(tokens_list)
+        # strict mapping on pre-sanitized lists (see _dispatch_infer): the
+        # inserted EOS-postprocess separator must survive, so id count ==
+        # token count and the end-marker index is consistent everywhere
         ids_list = [np.asarray(text_frontend.tokens_to_ids(
-            t, m.phon_to_id, strict=m.strict_text), np.int32)
-            for t in tokens_list]
-        # end-marker index from the ID count (non-strict tokenization may
-        # drop unknown tokens, shifting positions vs the token list)
+            t, m.phon_to_id), np.int32) for t in tokens_list]
         trunc = np.asarray([len(x) - N_EOS - 1 for x in ids_list],
                            np.int32)
         post = np.asarray(do_post, bool)
@@ -579,7 +586,7 @@ class Tacotron2Wave:
         m = self.model
         toks = m.tokenize(utterance, vowelizer)
         ids = np.asarray(text_frontend.tokens_to_ids(
-            toks, m.phon_to_id, strict=m.strict_text), np.int32)
+            toks, m.phon_to_id), np.int32)
         padded = _pad_ids([ids], _round_up(len(ids), TEXT_BUCKET))
         if not hasattr(self, "_seg_jit"):
             self._make_stream_jits()
