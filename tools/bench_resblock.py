@@ -24,8 +24,11 @@ from tts_arabic_tpu.vocoder.hifigan import ResBlock1
 
 
 def flops(B, T, C, k, n_dil):
-    # 2 convs per dilation stage, each 2*B*T*k*C*C MACs -> *2 FLOPs
-    return 2 * n_dil * 2 * B * T * k * C * C * 2
+    # 2 convs per dilation stage, each B*T*k*C*C MACs, 2 FLOPs/MAC.
+    # (r4 correction: an extra x2 inflated every TF/s this tool printed
+    # before 2026-08-19 — e.g. "93.4" at C=64 was really 46.7. Ratios
+    # between strategies were unaffected. eval/flops.py was always right.)
+    return 2 * n_dil * B * T * k * C * C * 2
 
 
 def bench(fn, x, chain, iters):
@@ -57,7 +60,13 @@ def main():
 
     # stage shapes from the profiled HiFi-GAN run (batch 16, ~1536 mel
     # frames -> T*128 at C=64 (stage 2), T*256 at C=32 (stage 3))
+    # stage MRF shapes for the headline config (batch 16, 1536-frame mel
+    # bucket): C=256 after the first 8x upsample, then 128/64/32. r4 adds
+    # the C=128/C=256 rows to locate the post-packing MFU ceiling (the
+    # C=128 stage alone is 43% of generator FLOPs).
     cases = [
+        (16, 24576, 256, 7, (1, 3, 5)),
+        (16, 98304, 128, 7, (1, 3, 5)),
         (16, 196608, 64, 7, (1, 3, 5)),
         (16, 393216, 32, 7, (1, 3, 5)),
     ]

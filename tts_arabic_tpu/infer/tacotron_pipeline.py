@@ -41,6 +41,27 @@ _SAFE_FINAL_TOKENS = frozenset(
 N_EOS = len(text_frontend.EOS_TOKENS)  # separator + eos
 
 
+def _speaker_array(speaker_id, n: int) -> np.ndarray:
+    """Scalar or per-utterance speaker ids -> int32 [n] (beyond reference:
+    `Tacotron2Wave.tts` there takes only a scalar, networks.py:353)."""
+    spk = np.asarray(speaker_id, np.int32)
+    if spk.ndim == 0:
+        return np.full((n,), int(spk), np.int32)
+    if spk.shape != (n,):
+        raise ValueError(
+            f"speaker_id must be a scalar or a length-{n} sequence, "
+            f"got shape {spk.shape}")
+    return spk
+
+
+def _subset_speakers(speaker_id, idxs):
+    """Slice a per-utterance speaker sequence down to a batch's indices
+    (identity on scalars)."""
+    if np.ndim(speaker_id) == 0:
+        return speaker_id
+    return np.asarray(speaker_id, np.int32)[np.asarray(idxs, int)]
+
+
 def needs_postprocessing(token: str) -> bool:
     return token not in _SAFE_FINAL_TOKENS
 
@@ -213,18 +234,21 @@ class Tacotron2TTS:
         order = np.argsort(-lens)
         ids_sorted = [ids_list[i] for i in order]
         lens_sorted = lens[order]
+        spk_sorted = _speaker_array(speaker_id, n_real)[order]
         if pad_to is not None and n_real < pad_to:
             ids_sorted = list(ids_sorted) + [np.zeros(1, np.int32)] * (
                 pad_to - n_real)
             lens_sorted = np.concatenate(
                 [lens_sorted, np.ones(pad_to - n_real, np.int64)])
+            spk_sorted = np.concatenate(
+                [spk_sorted, np.zeros(pad_to - n_real, np.int32)])
         padded = _pad_ids(ids_sorted, _round_up(int(lens.max()), TEXT_BUCKET))
         if rng is None:
             rng = jax.random.PRNGKey(0)
         out = self._infer_jit(
             self.variables, jnp.asarray(padded),
             jnp.asarray(lens_sorted, jnp.int32),
-            jnp.full((padded.shape[0],), speaker_id, jnp.int32), rng,
+            jnp.asarray(spk_sorted), rng,
             max_steps=self.decoder_max_step)
         inverse = np.argsort(order)
         return out, lens, inverse
@@ -287,14 +311,21 @@ class Tacotron2TTS:
     def ttmel(self, text_input: Union[str, List[str]], speaker_id: int = 0,
               speed: Optional[float] = None, batch_size: int = 1,
               vowelizer: Optional[str] = None, postprocess_mel: bool = True):
-        kw = dict(speaker_id=speaker_id, speed=speed, vowelizer=vowelizer,
+        kw = dict(speed=speed, vowelizer=vowelizer,
                   postprocess_mel=postprocess_mel)
         if isinstance(text_input, str):
-            return self.ttmel_single(text_input, **kw)
+            return self.ttmel_single(text_input, speaker_id=speaker_id, **kw)
+        if np.ndim(speaker_id) != 0:  # validate per-utterance length once
+            speaker_id = _speaker_array(speaker_id, len(text_input))
         out = []
         bs = max(batch_size, 1)
         for k in range(0, len(text_input), bs):
-            out += self.ttmel_batch(text_input[k: k + bs], pad_to=bs, **kw)
+            out += self.ttmel_batch(
+                text_input[k: k + bs], pad_to=bs,
+                speaker_id=_subset_speakers(speaker_id,
+                                            range(k, min(k + bs,
+                                                         len(text_input)))),
+                **kw)
         return out
 
 
@@ -413,19 +444,21 @@ class Tacotron2Wave:
         order = np.argsort(-lens)
         ids_sorted = [ids_list[i] for i in order]
         lens_sorted, trunc, post = lens[order], trunc[order], post[order]
+        spk_sorted = _speaker_array(speaker_id, n_real)[order]
         if pad_to is not None and n_real < pad_to:
             pad = pad_to - n_real
             ids_sorted += [np.zeros(1, np.int32)] * pad
             lens_sorted = np.concatenate([lens_sorted, np.ones(pad, np.int64)])
             trunc = np.concatenate([trunc, np.zeros(pad, np.int32)])
             post = np.concatenate([post, np.zeros(pad, bool)])
+            spk_sorted = np.concatenate([spk_sorted, np.zeros(pad, np.int32)])
         padded = _pad_ids(ids_sorted, _round_up(int(lens.max()), TEXT_BUCKET))
         if rng is None:
             rng = jax.random.PRNGKey(0)
         out = m._infer_jit(
             m.variables, jnp.asarray(padded),
             jnp.asarray(lens_sorted, jnp.int32),
-            jnp.full((padded.shape[0],), speaker_id, jnp.int32), rng,
+            jnp.asarray(spk_sorted), rng,
             max_steps=m.decoder_max_step)
         n_end, new_len = self._newlen_jit(
             out["alignments"], out["mel_lens"],
@@ -682,12 +715,15 @@ class Tacotron2Wave:
         """Synthesize speech (API parity with reference `Tacotron2Wave.tts`,
         networks.py:347-426). out_int16 converts to 16-bit PCM ON DEVICE,
         halving the D2H transfer (list path only, like
-        `FastPitch2Wave.tts`)."""
-        kw = dict(speed=speed, denoise=denoise, speaker_id=speaker_id,
-                  vowelizer=vowelizer, postprocess_mel=postprocess_mel,
-                  return_mel=return_mel)
+        `FastPitch2Wave.tts`). speaker_id: scalar, or a per-utterance
+        sequence aligned with `text_input` (beyond reference — one batched
+        decode can serve different speakers)."""
+        kw = dict(speed=speed, denoise=denoise, vowelizer=vowelizer,
+                  postprocess_mel=postprocess_mel, return_mel=return_mel)
         if isinstance(text_input, str):
-            return self.tts_single(text_input, **kw)
+            return self.tts_single(text_input, speaker_id=speaker_id, **kw)
+        if np.ndim(speaker_id) != 0:  # validate per-utterance length once
+            speaker_id = _speaker_array(speaker_id, len(text_input))
         m = self.model
         # GLOBAL length sort: homogeneous batches waste fewer autoregressive
         # decode steps (the while_loop runs until the LONGEST row stops) and
@@ -718,10 +754,10 @@ class Tacotron2Wave:
                 tokens_list, do_post = m._prepare_tokens(
                     [text_input[i] for i in idxs], vowelizer,
                     postprocess_mel)
-                handles = self._dispatch_fused(tokens_list, do_post,
-                                               speaker_id, denoise,
-                                               pad_to=bs,
-                                               out_int16=out_int16)
+                handles = self._dispatch_fused(
+                    tokens_list, do_post,
+                    _subset_speakers(speaker_id, idxs), denoise,
+                    pad_to=bs, out_int16=out_int16)
                 in_flight.append((idxs, handles))
                 if len(in_flight) > WINDOW:
                     _collect_f(in_flight.pop(0))
@@ -745,7 +781,9 @@ class Tacotron2Wave:
         for idxs in batches:
             prepared = m._prepare_tokens([text_input[i] for i in idxs],
                                          vowelizer, postprocess_mel)
-            dec = m._dispatch_infer(prepared[0], speaker_id, pad_to=bs)
+            dec = m._dispatch_infer(prepared[0],
+                                    _subset_speakers(speaker_id, idxs),
+                                    pad_to=bs)
             in_flight.append((idxs, prepared, dec))
             if len(in_flight) > WINDOW:
                 _collect(in_flight.pop(0))
