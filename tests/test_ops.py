@@ -184,3 +184,44 @@ def test_conv_transpose_packed_out_matches_dense(C_in, C_out, u, k, T):
     assert got.shape == (2, ref.shape[1] // P, P * C_out)
     np.testing.assert_allclose(
         got.reshape(2, -1, C_out), ref, atol=2e-5, rtol=0)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_ctc_loss_matches_optax_and_torch(seed):
+    """ops/ctc.py (unrolled scan, final-carry-only) == optax.ctc_loss in
+    value AND gradient, and == torch.nn.CTCLoss (the reference's backend,
+    attn_loss_function.py:20-61) in value, for ragged batches."""
+    import optax
+    import torch
+    from tts_arabic_tpu.ops.ctc import ctc_loss
+
+    rng = np.random.default_rng(seed)
+    B, T, K, N = 4, 41, 19, 14
+    logits = jnp.asarray(rng.normal(size=(B, T, K)), jnp.float32)
+    llens = rng.integers(1, N + 1, B)
+    tlens = np.maximum(rng.integers(1, T + 1, B), 2 * llens + 1)
+    labels = jnp.asarray(rng.integers(1, K, (B, N)), jnp.int32)
+    lp = jnp.asarray(np.arange(N)[None] >= llens[:, None], jnp.float32)
+    tp = jnp.asarray(np.arange(T)[None] >= tlens[:, None], jnp.float32)
+
+    ref = optax.ctc_loss(logits, tp, labels, lp, blank_id=0)
+    for unroll in (1, 8):
+        got = ctc_loss(logits, tp, labels, lp, unroll=unroll)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+    g_ref = jax.grad(lambda x: optax.ctc_loss(x, tp, labels, lp).sum())(
+        logits)
+    g_got = jax.grad(lambda x: ctc_loss(x, tp, labels, lp).sum())(logits)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # torch reference (sum over batch of per-seq NLL, no normalization)
+    lsm = torch.log_softmax(
+        torch.tensor(np.asarray(logits)), dim=-1).transpose(0, 1)
+    t_loss = torch.nn.CTCLoss(blank=0, reduction="none")(
+        lsm, torch.tensor(np.asarray(labels)),
+        torch.tensor(tlens, dtype=torch.long),
+        torch.tensor(llens, dtype=torch.long))
+    got = ctc_loss(logits, tp, labels, lp)
+    np.testing.assert_allclose(np.asarray(got), t_loss.numpy(),
+                               rtol=1e-4, atol=1e-4)

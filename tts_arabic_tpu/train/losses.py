@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.layers import sequence_mask
+from ..ops.ctc import ctc_loss
 
 _NEG_INF = -1e9
 
@@ -42,8 +43,11 @@ def attention_ctc_loss(attn_logprob, token_lens, mel_lens,
     logit_paddings = (jnp.arange(T_mel)[None, :] >=
                       mel_lens[:, None]).astype(jnp.float32)
 
-    per_seq = optax.ctc_loss(logits, logit_paddings, labels, label_paddings,
-                             blank_id=0)
+    # ops/ctc.py: optax-equivalent recursion (differential-tested) with
+    # scan unroll + no stacked per-step alphas — the T_mel-step sequential
+    # scan is loop-latency-bound in the train step (docs/PERF.md)
+    per_seq = ctc_loss(logits, logit_paddings, labels, label_paddings,
+                       blank_id=0)
     per_seq = jnp.where(jnp.isfinite(per_seq), per_seq, 0.0)  # zero_infinity
     return jnp.mean(per_seq / jnp.maximum(token_lens, 1))
 
