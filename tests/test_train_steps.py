@@ -277,3 +277,34 @@ def test_trainer_roundtrips_spectral_state(tmp_path):
     assert tr2.restore() == 7
     np.testing.assert_array_equal(
         np.asarray(tr2.state.d_spectral["u"]), np.arange(4.0))
+
+
+def test_flattened_optimizer_updates_identical():
+    """make_optimizer(flatten=True) (one fused update over a concatenated
+    vector; an op-count optimization for the latency-bound step) must
+    produce bit-comparable updates to the per-leaf optimizer."""
+    model = FastPitch(FP_CFG)
+    b = _fp_batch()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(b["tokens"]),
+        jnp.asarray(b["token_lens"]), jnp.asarray(b["mel_tgt"]),
+        jnp.asarray(b["mel_lens"]), jnp.asarray(b["pitch_dense"]),
+        jnp.asarray(b["energy_dense"]), jnp.asarray(b["attn_prior"]),
+        jnp.asarray(np.full(b["tokens"].shape, 2.0, np.float32)),
+        deterministic=True, method=FastPitch.forward_train)
+    params = variables["params"]
+    # synthetic grads: same tree, deterministic values
+    leaves, treedef = jax.tree.flatten(params)
+    grads = jax.tree.unflatten(treedef, [
+        jnp.cos(jnp.arange(l.size, dtype=jnp.float32).reshape(l.shape))
+        for l in leaves])
+
+    outs = []
+    for flat in (False, True):
+        tx = make_optimizer(1e-3, weight_decay=1e-5, grad_clip=0.5,
+                            flatten=flat)
+        upd, _ = tx.update(grads, tx.init(params), params)
+        outs.append(upd)
+    for a, b2 in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                   rtol=1e-6, atol=1e-7)

@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--frames", type=int, default=1000)
     ap.add_argument("--tokens", type=int, default=160)
     ap.add_argument("--no-adv", action="store_true")
+    ap.add_argument("--flat-opt", action="store_true",
+                    help="optax.flatten the optimizers (one "
+                         "fused update over a concatenated "
+                         "vector instead of per-leaf ops)")
     ap.add_argument("--vocoder", action="store_true",
                     help="benchmark the HiFi-GAN vocoder GAN step instead")
     ap.add_argument("--segment", type=int, default=8192)
@@ -84,7 +88,7 @@ def main():
         jnp.asarray(batch["attn_prior"][:1]), jnp.asarray(durs0[:1]),
         deterministic=True, method=FastPitch.forward_train)
 
-    tx = make_optimizer(1e-4)
+    tx = make_optimizer(1e-4, flatten=args.flat_opt)
     if args.no_adv:
         critic, tx_d, d_vars = None, None, None
         state = TrainState(params=variables["params"],
@@ -94,7 +98,7 @@ def main():
         critic = PatchDiscriminator(32)
         d_vars = critic.init({"params": jax.random.PRNGKey(1)},
                              jnp.zeros((1, 128, 80, 1)))
-        tx_d = make_optimizer(1e-4)
+        tx_d = make_optimizer(1e-4, flatten=args.flat_opt)
         state = TrainState(
             params=variables["params"],
             opt_state=tx.init(variables["params"]), step=jnp.asarray(0),

@@ -42,17 +42,22 @@ BW_ICI = 45e9      # v5e per-link unidirectional, bytes/s (scaling-book class)
 T_HOP = 1e-6       # per-hop collective launch latency, s
 
 
-def timed(fn, iters=7):
+def timed(fn, iters=5, chain=8):
+    """Best per-call device time with dispatch amortized: each rep queues
+    `chain` async dispatches and blocks ONCE, so the ~15-30 ms tunnel
+    round trip is paid once per rep, not once per call (one RTT per call
+    dwarfs a B=1 latency — the first r4 run of this tool measured mostly
+    the tunnel). The final single-element fetch defeats axon's
+    block_until_ready early-return on replayed dispatches (docs/PERF.md).
+    """
     fn()  # warmup/compile
     best = float("inf")
     for i in range(iters):
         t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
-        # force a real fetch: axon block_until_ready can return early on
-        # replayed dispatches (docs/PERF.md timing caveat)
-        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
-        best = min(best, time.perf_counter() - t0)
+        outs = [fn() for _ in range(chain)]
+        jax.block_until_ready(outs)
+        float(jax.tree.leaves(outs[-1])[0].ravel()[0])
+        best = min(best, (time.perf_counter() - t0) / chain)
     return best
 
 
@@ -67,7 +72,7 @@ def main():
     model = FastPitch(cfg)
     rng = jax.random.PRNGKey(0)
     tokens = jax.random.randint(rng, (1, args.t_text), 1, cfg.n_symbols)
-    variables = model.init(rng, tokens, method=FastPitch.infer)
+    variables = model.init(rng, tokens, max_frames=args.t_mel)
 
     # 1. full single-utterance mel infer (f32, the parity dtype TP serves)
     fwd = jax.jit(lambda v, t: model.apply(
@@ -75,7 +80,7 @@ def main():
     t_total = timed(lambda: fwd(variables, tokens))
 
     # 2. FFN-only anchors: chain the per-layer block so dispatch amortizes
-    ffn = ConvFFN(cfg.d_model, cfg.d_inner, cfg.enc_ffn_kernel)
+    ffn = ConvFFN(cfg.d_model, cfg.enc_filter_size, cfg.enc_kernel_size)
     x_enc = jax.random.normal(rng, (1, args.t_text, cfg.d_model))
     x_dec = jax.random.normal(rng, (1, args.t_mel, cfg.d_model))
     fv = ffn.init(rng, x_enc)

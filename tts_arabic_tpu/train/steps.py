@@ -48,11 +48,23 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(lr=1e-4, beta1=0.9, beta2=0.999, weight_decay=1e-6,
-                   grad_clip=1000.0):
-    return optax.chain(
+                   grad_clip=1000.0, flatten=False):
+    """AdamW + global-norm clip (reference recipe). `flatten=True` wraps
+    the update in `optax.flatten`, running it over ONE concatenated vector
+    instead of one op-set per param leaf — mathematically identical for
+    these (elementwise + global-norm) transforms (pinned by
+    `test_flattened_optimizer_updates_identical`), but it changes the
+    `opt_state` pytree layout, so it is opt-in (checkpoints are not
+    interchangeable across the flag). Measured on the v5e production
+    adversarial step it is a LOSS (29.56 -> 26.68 steps/s: the
+    concatenate/split HBM traffic costs more than the per-leaf dispatch
+    it saves), so nothing enables it by default — kept as an adjudicated
+    lever for param-heavier models (docs/PERF.md r4 train section)."""
+    tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(lr, b1=beta1, b2=beta2, weight_decay=weight_decay),
     )
+    return optax.flatten(tx) if flatten else tx
 
 
 def _critic_losses(critic, state, mel_tgt, mel_out_sg, mel_lens, rng,
