@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from chipbench import bench_exec
+
 from tts_arabic_tpu.ops.hifigan_pallas import (_resblock_xla, resblock_pallas,
                                                resblock_pallas_packed,
                                                resblock_packed_xla)
@@ -38,16 +40,12 @@ def bench(fn, x, chain, iters):
             x = fn(x)
         return x
 
-    out = chained(x).block_until_ready()
-    best = float("inf")
-    for i in range(iters):
-        xi = x + jnp.float32(i * 1e-6).astype(x.dtype)  # perturb: no replay
-        t0 = time.perf_counter()
-        out = chained(xi)
-        out.block_until_ready()
-        float(out[0, 0, 0])  # force a real fetch (axon early-return guard)
-        best = min(best, time.perf_counter() - t0)
-    return best
+    # two-point RTT-separated exec time (tools/chipbench.py). The old
+    # single-call loop here reported exec + one blocking round trip
+    # (~40-70 ms), deflating every TF/s this tool printed before
+    # 2026-08-19 by RTT/(exec+RTT) — up to ~2x for the faster stages.
+    exec_s, _, _ = bench_exec(chained, (x,), n=iters, k=None)
+    return exec_s
 
 
 def main():

@@ -20,30 +20,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from chipbench import bench_exec
+
 M = 10 * 1000            # production bucket: batch 10 x 1000 mel frames
 D, F, KS = 384, 1536, 3  # d_model, d_inner, conv kernel
 
 
-def bench(f, args, fl, n=5):
-    out = f(*args)
-    jax.block_until_ready(out)
-    best = 1e9
-    for i in range(n):
-        # perturb the first arg so axon cannot early-return a replayed
-        # dispatch (docs/PERF.md timing caveat)
-        args = (jax.tree.map(
-            lambda a: a + jnp.asarray(i * 1e-6, a.dtype), args[0]),
-        ) + args[1:]
-        t0 = time.perf_counter()
-        out = f(*args)
-        jax.block_until_ready(out)
-        # force a REAL fetch of one element — slice on device first; a
-        # whole-array np.asarray would time the ~40 MB/s tunnel transfer,
-        # not the chip (first r4 run of this tool made that mistake:
-        # "0.2 TF/s" on a 10000x1152x1536 GEMM was a 61 MB D2H)
-        float(jax.tree.leaves(out)[0].ravel()[0])
-        best = min(best, time.perf_counter() - t0)
-    return fl / best / 1e12, best
+def bench(f, args, fl):
+    # two-point RTT-separated exec time (tools/chipbench.py): single-call
+    # wall over the tunnel is RTT-dominated (the first r4 runs of this
+    # tool measured ~the same "time" for 0.85 and 2.55 TFLOP programs)
+    exec_s, rtt_s, _ = bench_exec(f, args)
+    return fl / exec_s / 1e12, exec_s, rtt_s
 
 
 def conv(x, w):
@@ -60,18 +48,22 @@ def main():
     rng = jax.random.PRNGKey(0)
     B, T = 10, 1000
     x = jax.random.normal(rng, (B, T, D), dt)
-    w1 = jax.random.normal(rng, (KS, D, F), dt) * 0.02
-    w2 = jax.random.normal(rng, (KS, F, D), dt) * 0.02
+    # DISTINCT weights per chained layer, like the real 12-layer stack
+    # (shared weights would chain every layer's wgrad into one serial
+    # accumulation the real step doesn't have)
+    w1 = jax.random.normal(rng, (args.chain, KS, D, F), dt) * 0.02
+    w2 = jax.random.normal(rng, (args.chain, KS, F, D), dt) * 0.02
     fl_fwd = 2 * B * T * KS * D * F * 2  # conv1 + conv2 per FFN
 
     def ffn_chain(x, w1, w2):
-        for _ in range(args.chain):
-            x = conv(jax.nn.relu(conv(x, w1)), w2)
+        for i in range(args.chain):
+            x = conv(jax.nn.relu(conv(x, w1[i])), w2[i])
         return x
 
-    tf, t = bench(jax.jit(ffn_chain), (x, w1, w2), fl_fwd * args.chain)
+    tf, t, rtt = bench(jax.jit(ffn_chain), (x, w1, w2),
+                       fl_fwd * args.chain)
     print(f"FFN fwd chain x{args.chain} [{B}x{T}x{D}] {dt}: "
-          f"{tf:.1f} TF/s ({t*1e3:.1f} ms)")
+          f"{tf:.1f} TF/s ({t*1e3:.1f} ms exec, rtt {rtt*1e3:.0f} ms)")
 
     # full fwd+bwd of the chained FFNs (dgrad + wgrad GEMMs included):
     # 3x the fwd FLOPs per conv
@@ -80,23 +72,62 @@ def main():
         return jnp.sum(ffn_chain(x, w1, w2) ** 2)
 
     g = jax.jit(jax.grad(loss))
-    tf, t = bench(g, ((w1, w2), x), 3 * fl_fwd * args.chain)
-    print(f"FFN fwd+bwd chain x{args.chain}: {tf:.1f} TF/s ({t*1e3:.1f} ms)")
+    tf, t, rtt = bench(g, ((w1, w2), x), 3 * fl_fwd * args.chain)
+    print(f"FFN fwd+bwd chain x{args.chain}: {tf:.1f} TF/s "
+          f"({t*1e3:.1f} ms exec)")
 
-    # plain GEMMs at the unfolded shapes, for reference
-    for (m, k, n) in [(M, KS * D, F), (M, KS * F, D), (KS * F, M, D)]:
+    # per-tap-matmul ConvFFN: y[t] = sum_d x[t+d] @ W[d] — the same conv
+    # expressed as 3 dense [B*T, D] @ [D, F] GEMMs per conv. If this beats
+    # conv_general_dilated at the step's shapes, the FFN lowering (85% of
+    # step FLOPs) is the lever.
+    def conv_taps(x, w):
+        y = jnp.einsum("bti,io->bto", x, w[1])
+        y = y.at[:, 1:].add(jnp.einsum("bti,io->bto", x[:, :-1], w[0]))
+        return y.at[:, :-1].add(jnp.einsum("bti,io->bto", x[:, 1:], w[2]))
+
+    def ffn_chain_taps(x, w1, w2):
+        for i in range(args.chain):
+            x = conv_taps(jax.nn.relu(conv_taps(x, w1[i])), w2[i])
+        return x
+
+    tf, t, _ = bench(jax.jit(ffn_chain_taps), (x, w1, w2),
+                     fl_fwd * args.chain)
+    print(f"FFN(tap-GEMM) fwd chain x{args.chain}: {tf:.1f} TF/s "
+          f"({t*1e3:.1f} ms exec)")
+
+    def loss_taps(params, x):
+        w1, w2 = params
+        return jnp.sum(ffn_chain_taps(x, w1, w2) ** 2)
+
+    tf, t, _ = bench(jax.jit(jax.grad(loss_taps)), ((w1, w2), x),
+                     3 * fl_fwd * args.chain)
+    print(f"FFN(tap-GEMM) fwd+bwd chain x{args.chain}: {tf:.1f} TF/s "
+          f"({t*1e3:.1f} ms exec)")
+
+    # plain GEMMs at the unfolded shapes: a DEPENDENCY chain of
+    # alternating [M,K]@[K,N] / [M,N]@[N,K] dots (identical accumulated
+    # dots get CSE'd — the first r4 run measured one dot as eight).
+    for (m, k, n) in [(M, KS * D, F), (M, F, D)]:
         a = jax.random.normal(rng, (m, k), dt)
-        b = jax.random.normal(rng, (k, n), dt)
+        b1 = jax.random.normal(rng, (k, n), dt) / np.sqrt(k)
+        b2 = jax.random.normal(rng, (n, k), dt) / np.sqrt(n)
 
-        def mm(a, b):
-            acc = 0.0
-            for i in range(8):
-                acc = acc + jax.lax.dot_general(
-                    a, b, (((1,), (0,)), ((), ())))
-            return acc
-        tf, t = bench(jax.jit(mm), (a, b), 8 * 2 * m * k * n)
-        print(f"GEMM [{m}x{k}]@[{k}x{n}] x8 {dt}: {tf:.1f} TF/s "
-              f"({t*1e3:.1f} ms)")
+        def mm(a, b1, b2):
+            for _ in range(8):
+                a = jax.lax.dot_general(a, b1, (((1,), (0,)), ((), ())))
+                a = jax.lax.dot_general(a, b2, (((1,), (0,)), ((), ())))
+            return a
+        tf, t, _ = bench(jax.jit(mm), (a, b1, b2), 8 * 2 * 2 * m * k * n)
+        print(f"GEMM chain [{m}x{k}]@[{k}x{n}] alt x16 {dt}: {tf:.1f} TF/s "
+              f"({t*1e3:.1f} ms exec)")
+
+    # calibrate XLA cost_analysis flops vs the analytic count used above
+    comp = jax.jit(ffn_chain).lower(x, w1, w2).compile()
+    ca = (comp.cost_analysis() or [{}])
+    ca = ca[0] if isinstance(ca, list) else ca
+    print(f"cost_analysis flops for fwd chain: "
+          f"{float(ca.get('flops', 0))/1e12:.3f} TFLOP "
+          f"vs analytic {fl_fwd*args.chain/1e12:.3f} TFLOP")
 
 
 if __name__ == "__main__":

@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from chipbench import bench_exec
+
 from tts_arabic_tpu.models.fastpitch import FastPitch, FastPitchConfig
 from tts_arabic_tpu.models.layers import ConvFFN
 
@@ -42,23 +44,12 @@ BW_ICI = 45e9      # v5e per-link unidirectional, bytes/s (scaling-book class)
 T_HOP = 1e-6       # per-hop collective launch latency, s
 
 
-def timed(fn, iters=5, chain=8):
-    """Best per-call device time with dispatch amortized: each rep queues
-    `chain` async dispatches and blocks ONCE, so the ~15-30 ms tunnel
-    round trip is paid once per rep, not once per call (one RTT per call
-    dwarfs a B=1 latency — the first r4 run of this tool measured mostly
-    the tunnel). The final single-element fetch defeats axon's
-    block_until_ready early-return on replayed dispatches (docs/PERF.md).
-    """
-    fn()  # warmup/compile
-    best = float("inf")
-    for i in range(iters):
-        t0 = time.perf_counter()
-        outs = [fn() for _ in range(chain)]
-        jax.block_until_ready(outs)
-        float(jax.tree.leaves(outs[-1])[0].ravel()[0])
-        best = min(best, (time.perf_counter() - t0) / chain)
-    return best
+def timed(fn, iters=5):
+    """Two-point RTT-separated exec time (tools/chipbench.py): one tunnel
+    round trip dwarfs a B=1 latency, and even dividing a chained batch by
+    its length leaves RTT/chain inside — the fit removes it."""
+    exec_s, _, _ = bench_exec(lambda: fn(), (), n=iters)
+    return exec_s
 
 
 def main():
