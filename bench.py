@@ -32,9 +32,11 @@ of the executed padded shapes / chip peak FLOP/s,
 `tts_arabic_tpu/eval/flops.py`).
 
 Weights are random (the reference publishes no checkpoints): the FastPitch
-duration head is biased to a realistic ~6.5 frames/token and the Tacotron2
-gate is biased to never fire so its decode runs a fixed, realistic 768
-frames (~8.9 s) per utterance; compute cost is identical to trained weights.
+duration head is biased to a realistic ~6.5 frames/token, and the Tacotron2
+model is rewired (`eval/gate_control.py`) so its gate fires at
+deterministic, per-sample-varied steps targeting ~6.5 frames/token — the
+decode exercises real EOS gate stops, ragged lengths, and the step cap
+(T2_STEPS), with compute identical to trained weights.
 """
 import json
 import pathlib
@@ -46,7 +48,7 @@ import time
 import numpy as np
 
 ROOT = pathlib.Path(__file__).resolve().parent
-T2_STEPS = 768          # fixed Tacotron2 decode length (~8.9 s audio)
+T2_STEPS = 768          # Tacotron2 decode step cap (~8.9 s audio max)
 T2_PROMPTS = 32         # autoregressive decode is sequential; subset is
                         # enough for a stable per-step number
 T2_BATCH = 32           # measured best of the 8/16/32 sweep (VERDICT r2 #2)
@@ -322,25 +324,56 @@ def main():
     detail["ttmel_compute_only_stats"] = a_stats
 
     # ---- config 3: Tacotron2Wave autoregressive --------------------------
-    t2 = Tacotron2Wave(seed=0, arabic_in=False, compute_dtype=jnp.bfloat16)
+    # Gate-CONTROLLED decode (VERDICT r3 #4): a synthetic checkpoint whose
+    # gate fires at deterministic, per-sample-varied steps (~6.5
+    # frames/token, eval/gate_control.py), so the benched path exercises
+    # EOS gate stop, ragged per-sample lengths and the batched ragged
+    # collection — what real checkpoints do (reference gate semantics
+    # tacotron2_ms.py:278-332) — instead of a fixed never-stop decode.
+    from tts_arabic_tpu.eval.gate_control import install_gate_control
+    from tts_arabic_tpu.models.tacotron2 import Tacotron2Config
+    t2 = Tacotron2Wave(seed=0, arabic_in=False, compute_dtype=jnp.bfloat16,
+                       config=Tacotron2Config(num_speakers=64))
     t2.model.decoder_max_step = T2_STEPS
-    gate = t2.model.variables["params"]["gate_layer"]
-    gate["bias"] = gate["bias"] - 10.0  # never stop early: fixed-len decode
-    t2_lines = [lines[i] for i in
-                sorted(range(len(lines)), key=lambda i: -len(lines[i]))
-                [:T2_PROMPTS]]
+    # length-diverse subset (evenly spaced over the length-sorted prompts)
+    order = sorted(range(len(lines)), key=lambda i: -len(lines[i]))
+    t2_lines = [lines[order[(i * len(order)) // T2_PROMPTS]]
+                for i in range(T2_PROMPTS)]
+    t2_speakers, t2_lengths, t2_report = install_gate_control(
+        t2, t2_lines)
+    detail["t2_gate_control"] = {
+        "targets": t2_report["targets"],
+        "calibrated_lengths": t2_report["realized_lengths"],
+        "off_target": t2_report["off_target"],
+        "amplify": t2_report["amplify"],
+    }
 
     def run_t2():
         waves = t2.tts(t2_lines, denoise=0.005, batch_size=T2_BATCH,
+                       speaker_id=t2_speakers,
                        postprocess_mel=False, out_int16=True)
         return sum(len(w) for w in waves)
 
     total = run_t2()  # warmup
+    # verify determinism on the real tts() path: the same call realizes
+    # the same gate-stop lengths as the bisection's final decode
+    realized = np.asarray([len(w) for w in t2.tts(
+        t2_lines, denoise=0.005, batch_size=T2_BATCH,
+        speaker_id=t2_speakers, postprocess_mel=False,
+        out_int16=True)]) // hop
+    match = int((realized == np.asarray(t2_lengths)).sum())
+    detail["t2_gate_control"]["realized_lengths"] = realized.tolist()
+    detail["t2_gate_control"]["deterministic_match"] = f"{match}/{T2_PROMPTS}"
+    print(f"# t2 gate-stop lengths: min/med/max = {realized.min()}/"
+          f"{int(np.median(realized))}/{realized.max()} frames, "
+          f"deterministic {match}/{T2_PROMPTS}, "
+          f"off-target {t2_report['off_target']}/{T2_PROMPTS}",
+          file=sys.stderr)
     stats, total = timed(run_t2)
     t2_rtf = total / sr / stats["best_s"]
     note("rtf_tacotron2_e2e", t2_rtf, stats,
-         f"({T2_PROMPTS} prompts x {T2_STEPS}-frame decode, "
-         f"batch {T2_BATCH})")
+         f"({T2_PROMPTS} prompts, gate-stop decode "
+         f"{realized.min()}-{realized.max()} frames, batch {T2_BATCH})")
 
     # compute-only anchor: the autoregressive decode itself (the dominant,
     # sequential cost), dispatched and blocked on device
@@ -350,7 +383,8 @@ def main():
 
     def t2_anchor():
         for _ in range(ANCHOR_CHAIN):
-            outs = [t2.model._dispatch_infer(b, 0, pad_to=T2_BATCH)[0]
+            outs = [t2.model._dispatch_infer(b, t2_speakers,
+                                             pad_to=T2_BATCH)[0]
                     for b in t2_batches]
         for o in outs:
             o["mel_postnet"].block_until_ready()
@@ -360,6 +394,27 @@ def main():
     detail["t2_decode_compute_only_rtf"] = round(
         total / sr / a_stats["best_s"], 2)
     detail["t2_decode_compute_only_stats"] = a_stats
+
+    # EOS-postprocess row: same prompts through the fused decode ->
+    # in-graph truncation -> vocode path (postprocess_mel=True), its own
+    # calibration (token insertion changes the decode trajectories; the
+    # pp speakers live at speaker_base=T2_PROMPTS — NOTE this second
+    # install re-derives scale/bias and replaces the embedding table, so
+    # it must run after every use of the first calibration above)
+    t2_spk_pp, t2_len_pp, _ = install_gate_control(
+        t2, t2_lines, postprocess_mel=True, speaker_base=T2_PROMPTS)
+
+    def run_t2_pp():
+        waves = t2.tts(t2_lines, denoise=0.005, batch_size=T2_BATCH,
+                       speaker_id=t2_spk_pp, postprocess_mel=True,
+                       out_int16=True)
+        return sum(len(w) for w in waves)
+
+    pp_total = run_t2_pp()  # warmup
+    pp_stats, pp_total = timed(run_t2_pp, reps=3)
+    detail["rtf_tacotron2_e2e_postprocess"] = round(
+        pp_total / sr / pp_stats["best_s"], 2)
+    detail["rtf_tacotron2_e2e_postprocess_stats"] = pp_stats
 
     # ---- config 4: multispeaker FastPitch + Vocos backend ----------------
     from tts_arabic_tpu.models.fastpitch import FastPitchConfig
