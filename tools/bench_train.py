@@ -49,6 +49,11 @@ def main():
     ap.add_argument("--frames", type=int, default=1000)
     ap.add_argument("--tokens", type=int, default=160)
     ap.add_argument("--no-adv", action="store_true")
+    ap.add_argument("--rng-impl", default=None,
+                    help="PRNG impl for the step rng (e.g. 'rbg'): the "
+                         "dropout masks are ~125M random words/step at the "
+                         "production shape, and threefry2x32 generates them "
+                         "in software on the VPU")
     ap.add_argument("--flat-opt", action="store_true",
                     help="optax.flatten the optimizers (one "
                          "fused update over a concatenated "
@@ -109,7 +114,8 @@ def main():
     jit_step = jax.jit(lambda s, b, r: step_fn(s, b, r), donate_argnums=0)
 
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
-    key = jax.random.PRNGKey(0)
+    key = (jax.random.key(0, impl=args.rng_impl) if args.rng_impl
+           else jax.random.PRNGKey(0))
 
     t0 = time.perf_counter()
     lowered = jax.jit(lambda s, b, r: step_fn(s, b, r)).lower(
