@@ -10,8 +10,13 @@ we must also flip the already-imported config.
 """
 import os
 import sys
+import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# gate-control calibrations cache to disk (eval/gate_control.py); tests
+# must not pollute the repo's committed chip cache with CPU-keyed entries
+os.environ.setdefault("TTS_ARABIC_GATE_CACHE",
+                      tempfile.mkdtemp(prefix="gate_cache_"))
 # The axon TPU plugin (PYTHONPATH=/root/.axon_site) ignores
 # JAX_PLATFORMS=cpu: its registered backend factory dials the remote chip
 # tunnel inside backends() init, and a half-dead tunnel HANGS that connect

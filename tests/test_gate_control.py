@@ -1,10 +1,12 @@
 """Gate-controlled synthetic Tacotron2 checkpoints (bench support).
 
 Validates `eval/gate_control.py`: per-sample gate stops land exactly on
-the calibrated steps, the control channel provably does not perturb mel
-trajectories, and per-utterance `speaker_id` sequences plumb through the
-public `tts()` (reference gate semantics: `tacotron2_ms.py:278-332`;
-reference `tts` takes only a scalar speaker, networks.py:353).
+the calibrated steps, the GATE control channel provably does not perturb
+mel trajectories (given the sample's dither), install is idempotent, the
+disk cache replays a calibration, and per-utterance `speaker_id`
+sequences plumb through the public `tts()` (reference gate semantics:
+`tacotron2_ms.py:278-332`; reference `tts` takes only a scalar speaker,
+networks.py:353).
 """
 import numpy as np
 import pytest
@@ -23,6 +25,9 @@ SMALL_MS = Tacotron2Config(
 
 TEXTS = ["ذَهَبَ الوَلَدُ", "صِفر", "كِتاب جَدِيد", "شَمس"]
 TARGETS = [120, 40, 90, 64]
+# small config + CPU: fewer dither probes keep the module fast while still
+# exercising the dither-selection path
+DITHERS = (0.0, 1.0, -1.0)
 
 
 @pytest.fixture(scope="module")
@@ -30,7 +35,8 @@ def controlled():
     pipe = Tacotron2Wave(seed=0, config=SMALL_MS)
     pipe.model.decoder_max_step = 160
     speakers, lengths, report = install_gate_control(
-        pipe, TEXTS, TARGETS, postprocess_mel=False)
+        pipe, TEXTS, TARGETS, postprocess_mel=False,
+        dither_candidates=DITHERS)
     return pipe, speakers, lengths, report
 
 
@@ -44,26 +50,36 @@ def test_realized_lengths_deterministic_and_gate_stopped(controlled):
     # deterministic: a fresh decode realizes the bisection's final lengths
     np.testing.assert_array_equal(realized, lengths)
     # achievable stop steps are the record-breaking steps of each sample's
-    # gate trajectory (a constant offset cannot stop elsewhere), so exact
-    # targets are not promised — but the stops must be real (before the
-    # cap), varied, and past the onset guard
+    # chosen gate trajectory (a constant offset cannot stop elsewhere), so
+    # exact targets are not promised — but the stops must be real (before
+    # the cap), varied, and past the onset guard
     fired = realized < 160
     assert fired.sum() >= 3                 # at most one cap fallback
+    assert report["cap_fallback"] <= 1
     assert len(set(realized[fired].tolist())) >= 3
     assert (realized[fired] > 16).all()
+    assert report["cache"] == "miss"
 
 
-def test_control_channel_does_not_perturb_mels(controlled):
-    """Zeroing the offsets (speaker 7 has an all-zero embedding row) must
-    reproduce the exact mel trajectory of the controlled decode over each
-    sample's realized length — the speaker channel only reaches the gate."""
-    pipe, speakers, predicted, _ = controlled
+def test_gate_channel_does_not_perturb_mels(controlled):
+    """With the sample's dither matched, zeroing only the GATE channel
+    must reproduce the exact mel trajectory of the controlled decode over
+    each sample's realized length — the gate channel reaches nothing but
+    the gate logit."""
+    pipe, speakers, predicted, report = controlled
     m = pipe.model
+    p = m.variables["params"]
+    emb = np.asarray(p["speaker_embedding"]["embedding"]).copy()
+    # speakers 4..7: same dither as 0..3, gate channel zeroed
+    emb[4:8] = emb[0:4]
+    emb[4:8, report["gate_channel"]] = 0.0
+    import jax.numpy as jnp
+    p["speaker_embedding"]["embedding"] = jnp.asarray(emb)
     tokens_list, _ = m._prepare_tokens(list(TEXTS), None, False)
     out_ctl, _, inv = m._dispatch_infer(tokens_list, speakers,
                                         pad_to=len(TEXTS))
     out_ref, _, _ = m._dispatch_infer(
-        tokens_list, np.full(len(TEXTS), 7), pad_to=len(TEXTS))
+        tokens_list, np.arange(4, 8), pad_to=len(TEXTS))
     mel_c = np.asarray(out_ctl["mel"], np.float32)
     mel_r = np.asarray(out_ref["mel"], np.float32)
     lens = np.asarray(out_ctl["mel_lens"])
@@ -97,18 +113,26 @@ def test_tts_speaker_sequence_validation(controlled):
                  postprocess_mel=False)
 
 
-def test_postprocess_row_exercises_truncation():
-    """EOS postprocessing under gate stop: the fused path truncates on the
-    end-marker attention column within the gate-stopped length.
-    (Fresh pipe: install_gate_control rewires a model once — amplification
-    is not idempotent.)"""
-    pipe = Tacotron2Wave(seed=0, config=SMALL_MS)
-    pipe.model.decoder_max_step = 160
-    speakers2, predicted2, rep2 = install_gate_control(
-        pipe, TEXTS, TARGETS, postprocess_mel=True, speaker_base=4)
-    waves = pipe.tts(list(TEXTS), speaker_id=speakers2,
+def test_reinstall_is_idempotent_and_cache_replays(controlled):
+    """bench.py installs twice on the same model (plain + EOS-postprocess
+    rows). The second install must restore pristine weights first
+    (ADVICE r4) and, with identical arguments, replay the disk cache."""
+    pipe, speakers, lengths, report = controlled
+    spk2, len2, rep2 = install_gate_control(
+        pipe, TEXTS, TARGETS, postprocess_mel=False,
+        dither_candidates=DITHERS)
+    assert rep2["cache"] == "hit"
+    np.testing.assert_array_equal(spk2, speakers)
+    np.testing.assert_array_equal(len2, lengths)
+
+    # now the bench's postprocess pattern: SAME pipe, new calibration
+    spk_pp, pred_pp, rep_pp = install_gate_control(
+        pipe, TEXTS, TARGETS, postprocess_mel=True, speaker_base=4,
+        dither_candidates=DITHERS)
+    assert rep_pp["cache"] == "miss"
+    waves = pipe.tts(list(TEXTS), speaker_id=spk_pp,
                      batch_size=len(TEXTS), denoise=0.0,
                      postprocess_mel=True)
     hop = pipe.vocoder_config.hop_length
-    for w, L in zip(waves, predicted2):
+    for w, L in zip(waves, pred_pp):
         assert 1 <= len(w) // hop <= L + 3

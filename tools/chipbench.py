@@ -14,6 +14,7 @@ slice first!) defeats axon's block_until_ready early-return on replayed
 dispatches, and fetching the WHOLE output would re-introduce the
 ~40 MB/s transfer into the timed region (docs/PERF.md timing caveats).
 """
+import sys
 import time
 
 import jax
@@ -68,6 +69,10 @@ def bench_exec(f, args, n=5, k=32):
     t1 = point(1)
     tk = point(k)
     if tk <= t1:  # RTT jitter swamped the signal: report the upper bound
+        print(f"# chipbench WARNING: two-point fit degenerate "
+              f"(t1={t1:.4f}s >= t{k}={tk:.4f}s): exec estimate "
+              f"{tk / k:.4f}s is an RTT-jitter UPPER BOUND, not a clean "
+              f"fit", file=sys.stderr)
         return tk / k, 0.0, t1
     exec_s = (tk - t1) / (k - 1)
     rtt_s = max(t1 - exec_s, 0.0)

@@ -314,6 +314,8 @@ class Tacotron2TTS:
         kw = dict(speed=speed, vowelizer=vowelizer,
                   postprocess_mel=postprocess_mel)
         if isinstance(text_input, str):
+            if np.ndim(speaker_id) != 0:  # accept a length-1 sequence;
+                speaker_id = int(_speaker_array(speaker_id, 1)[0])
             return self.ttmel_single(text_input, speaker_id=speaker_id, **kw)
         if np.ndim(speaker_id) != 0:  # validate per-utterance length once
             speaker_id = _speaker_array(speaker_id, len(text_input))
@@ -721,6 +723,10 @@ class Tacotron2Wave:
         kw = dict(speed=speed, denoise=denoise, vowelizer=vowelizer,
                   postprocess_mel=postprocess_mel, return_mel=return_mel)
         if isinstance(text_input, str):
+            if np.ndim(speaker_id) != 0:  # accept a length-1 sequence;
+                # reject longer ones HERE with the clear shape error
+                # rather than deep inside _dispatch (ADVICE r4)
+                speaker_id = int(_speaker_array(speaker_id, 1)[0])
             return self.tts_single(text_input, speaker_id=speaker_id, **kw)
         if np.ndim(speaker_id) != 0:  # validate per-utterance length once
             speaker_id = _speaker_array(speaker_id, len(text_input))

@@ -69,6 +69,11 @@ class FastPitchConfig:
     energy_dropout: float = 0.1
     energy_n_layers: int = 2
     energy_emb_kernel_size: int = 3
+    # compile the 6+6 identical FFT blocks as ONE lax.scan over a stacked
+    # layer axis (smaller XLA program, same math; layers.py::FFTransformer).
+    # Param layout changes — `runtime/checkpoint.py` and the torch importer
+    # emit the per-layer layout; convert with stack_fft_params.
+    scan_layers: bool = False
     # speakers
     n_speakers: int = 1
     speaker_emb_weight: float = 1.0
@@ -226,13 +231,14 @@ class FastPitch(nn.Module):
             d_head=c.enc_d_head, d_inner=c.enc_filter_size,
             kernel_size=c.enc_kernel_size, dropout=c.enc_dropout,
             dropatt=c.enc_dropatt, dropemb=c.enc_dropemb, embed_input=True,
-            n_embed=c.n_symbols, padding_idx=c.padding_idx, name="encoder")
+            n_embed=c.n_symbols, padding_idx=c.padding_idx,
+            scan_layers=c.scan_layers, name="encoder")
         self.decoder = FFTransformer(
             n_layer=c.dec_n_layers, n_head=c.dec_n_heads, d_model=c.d_model,
             d_head=c.dec_d_head, d_inner=c.dec_filter_size,
             kernel_size=c.dec_kernel_size, dropout=c.dec_dropout,
             dropatt=c.dec_dropatt, dropemb=c.dec_dropemb, embed_input=False,
-            name="decoder")
+            scan_layers=c.scan_layers, name="decoder")
         self.duration_predictor = TemporalPredictor(
             c.dur_filter_size, c.dur_kernel_size, c.dur_dropout,
             c.dur_n_layers, name="duration_predictor")
