@@ -476,7 +476,10 @@ def main():
             "targets": t2_report["targets"],
             "calibrated_lengths": t2_report["realized_lengths"],
             "off_target": t2_report["off_target"],
+            "n_fired": t2_report["n_fired"],
+            "cap_preferred": t2_report["cap_preferred"],
             "cap_fallback": t2_report["cap_fallback"],
+            "predicted_gap_rel": t2_report["predicted_gap_rel"],
             "dithers": t2_report["dithers"],
             "amplify": t2_report["amplify"],
             "cache": t2_report["cache"],
@@ -504,7 +507,9 @@ def main():
               f"{int(np.median(realized))}/{realized.max()} frames, "
               f"deterministic {match}/{T2_PROMPTS}, "
               f"off-target {t2_report['off_target']}/{T2_PROMPTS}, "
-              f"cap-fallback {t2_report['cap_fallback']}/{T2_PROMPTS}, "
+              f"fired {t2_report['n_fired']}/{T2_PROMPTS}, "
+              f"cap-preferred {t2_report['cap_preferred']}, "
+              f"cap-fallback {t2_report['cap_fallback']}, "
               f"gate-cache {t2_report['cache']}",
               file=sys.stderr)
         stats, total = timed(run_t2)

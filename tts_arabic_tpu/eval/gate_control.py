@@ -71,15 +71,19 @@ __all__ = ["install_gate_control"]
 _FRAMES_PER_TOKEN = 6.5
 
 # bump to invalidate stale disk caches when the algorithm changes
-_CACHE_VERSION = 3
+_CACHE_VERSION = 4
 
 _SNAP_ATTR = "_gate_control_pristine"
 
 # per-sample dynamics dithers probed per calibration; 0.0 first (the
 # undithered trajectory), then natural-scale magnitudes of both signs —
 # the j_dyn rows keep their pristine random-init values, so a unit dither
-# injects at the model's own activation scale
-_DEFAULT_DITHERS = (0.0, 0.7, -0.7, 2.0, -2.0, 6.0, -6.0)
+# injects at the model's own activation scale. Each candidate is one
+# cached probe decode; 13 candidates give each sample 13 independent
+# record sets to choose a near-target stop from (r5 chip measurement:
+# 7 candidates left off-target at 11/32, dominated by sparse records).
+_DEFAULT_DITHERS = (0.0, 0.7, -0.7, 1.2, -1.2, 2.0, -2.0, 3.5, -3.5,
+                    6.0, -6.0, 10.0, -10.0)
 
 
 def _zero_rows(arr, lo: int, hi: int, keep: Optional[int] = None):
@@ -384,18 +388,37 @@ def install_gate_control(
                                          np.minimum(hi, trial)))
         trial = np.where(np.isnan(hi), trial * 4.0, 0.5 * (lo + hi))
 
+    # the step cap itself is a REAL decode outcome (reference
+    # decoder_max_step truncation, tacotron2_ms.py:318-323): when no
+    # reachable record is closer to the target than the cap — typical for
+    # long prompts whose ~6.5 f/t target saturates near the cap — prefer
+    # the never-fire delta (= 0) so the sample decodes to the cap instead
+    # of a distant forced stop (r5 chip measurement: this alone removed 6
+    # of 11 off-target misses)
+    cap_closer = (np.abs(np.int64(max_steps) - targets)
+                  < np.abs(best_len - targets))
+    best_delta = np.where(cap_closer, 0.0, best_delta)
+    best_len = np.where(cap_closer, max_steps, best_len)
+
     set_embedding(dithers, best_delta, w_b)
     lengths = live_lengths()               # the final installed behavior
     off_target = int((np.abs(lengths - targets) > 0.25 * targets).sum())
-    # never calibrated at all (only cap reachable): distinct from a
-    # tolerable near-target miss — ADVICE r4
-    cap_fallback = int((best_len >= max_steps).sum())
+    at_cap = lengths >= max_steps
+    within = np.abs(lengths - targets) <= 0.25 * targets
+    # never calibrated at all (only cap reachable AND cap off-target):
+    # distinct from a tolerable near-target miss — ADVICE r4
+    cap_fallback = int((at_cap & ~within).sum())
 
     report = {
         "targets": targets.tolist(),
         "realized_lengths": lengths.tolist(),
         "off_target": off_target,
+        "n_fired": int((~at_cap).sum()),
+        "cap_preferred": int((at_cap & within).sum()),
         "cap_fallback": cap_fallback,
+        "predicted_gap_rel": np.round(
+            np.where(np.isfinite(predicted_gap),
+                     predicted_gap / targets, -1.0), 3).tolist(),
         "amplify": amp,
         "gap": gap,
         "gate_channel": j_gate,
