@@ -685,6 +685,48 @@ def main():
         if rtf2 > headline["rtf"]:
             headline["rtf"] = rtf2
 
+    # ---- opt-in int8 vocoder (beyond-reference serving mode) -------------
+    # Static-calibrated int8 MRF stages (ops/hifigan_int8.py): double-rate
+    # MXU path, measured 1.28-1.85x on the dense MRF convs (docs/PERF.md
+    # r5). Runs LAST: calibrate_int8 switches `pipe` in place, and the
+    # pre-registered bf16 headline must be fully recorded first. Quality
+    # is gated in-run: waveform SNR of the int8 path vs the just-measured
+    # bf16 output on the same prompts.
+    if skip_unless("int8_vocoder", 240 if not SMOKE else 60):
+        sub = lines[:batch_size]
+        ref_w = pipe.tts(sub, denoise=0.005, batch_size=batch_size,
+                         out_int16=True)
+        t0 = time.perf_counter()
+        pipe.calibrate_int8(texts=sub)  # reuses the ttmel-config signatures
+        detail["warmup_s"]["int8_calibration"] = round(
+            time.perf_counter() - t0, 1)
+        warmup("int8_e2e", run_e2e)  # compile+load the int8 wave programs
+        q_w = pipe.tts(sub, denoise=0.005, batch_size=batch_size,
+                       out_int16=True)
+        num = sum(float((r.astype(np.float64) ** 2).sum()) for r in ref_w)
+        den = sum(float(((q.astype(np.float64) - r.astype(np.float64)) ** 2)
+                        .sum()) for q, r in zip(q_w, ref_w))
+        snr = 10 * np.log10(num / max(den, 1e-30))
+        stats_i, total_i = timed(run_e2e)
+        rtf_i = (total_i / sr) / stats_i["best_s"]
+        note("rtf_fastpitch_hifigan_e2e_int8", rtf_i, stats_i,
+             f"(snr {snr:.1f} dB vs bf16)")
+        ai_stats, _ = timed_anchor(
+            lambda: fp_anchor(pipe, ids_b, batch_size, dlms))
+        detail["int8_vocoder"] = {
+            "compute_only_rtf": round(audio_sec / ai_stats["best_s"], 2),
+            "compute_only_rtf_bf16": detail["compute_only_rtf"],
+            "stats": ai_stats,
+            "snr_db_vs_bf16": round(float(snr), 1),
+            "sites": len(pipe._int8_scales),
+            "note": ("opt-in FastPitch2Wave(quantize='int8'); PTQ-grade "
+                     "accuracy, compute anchor is the stable comparison"),
+        }
+        print(f"# int8 anchor: compute_rtf="
+              f"{detail['int8_vocoder']['compute_only_rtf']}x vs bf16 "
+              f"{detail['compute_only_rtf']}x, snr {snr:.1f} dB",
+              file=sys.stderr)
+
     detail["rtf_headline_reported"] = round(headline["rtf"], 2)
     write_detail()
     emit_headline()

@@ -85,3 +85,15 @@ def test_mfu_quote_covers_detail(detail):
     assert m, "README MFU quote missing"
     lo, hi = float(m.group(1)), float(m.group(2))
     assert lo - 0.02 <= detail["mfu_e2e"] <= hi + 0.02
+
+
+def test_int8_row_matches_detail(detail):
+    """The README's int8 bullet quotes chip numbers; once a bench detail
+    with the int8 config is committed, its SNR gate must hold."""
+    row = re.search(r"[^\n]*quantize=\"int8\"[^\n]*", README)
+    assert row, "README int8 row missing"
+    if "int8_vocoder" not in detail:
+        pytest.skip("committed BENCH_DETAIL predates the int8 config")
+    i8 = detail["int8_vocoder"]
+    assert i8["snr_db_vs_bf16"] > 20
+    assert i8["compute_only_rtf"] > 0

@@ -52,6 +52,9 @@ def main(argv=None):
                         help="input lines are Buckwalter, not Arabic script")
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--quantize", choices=["int8"], default=None,
+                        help="opt-in int8 MRF vocoder serving path "
+                             "(static calibration at startup)")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -66,13 +69,14 @@ def main(argv=None):
             args.checkpoint, vocoder_sd=args.vocoder_sd,
             vocoder_config=args.vocoder_config, vowelizer=args.vowelizer,
             arabic_in=not args.buckwalter,
-            compute_dtype=jnp.bfloat16 if args.bf16 else None)
+            compute_dtype=jnp.bfloat16 if args.bf16 else None,
+            quantize=args.quantize)
     else:
         from ..infer import Tacotron2Wave
         tts = Tacotron2Wave(
             args.checkpoint, vocoder_sd=args.vocoder_sd,
             vocoder_config=args.vocoder_config, vowelizer=args.vowelizer,
-            arabic_in=not args.buckwalter)
+            arabic_in=not args.buckwalter, quantize=args.quantize)
 
     lines = read_lines(args.list)
     print(f"synthesizing {len(lines)} utterances with {args.model}...")

@@ -97,6 +97,8 @@ class TTSManager:
         if item.get("vocoder_sd"):
             kwargs["vocoder_sd"] = item["vocoder_sd"]
             kwargs["vocoder_config"] = item.get("vocoder_config")
+        if item.get("quantize"):  # e.g. "int8" (ops/hifigan_int8.py)
+            kwargs["quantize"] = item["quantize"]
         if kind == "fastpitch":
             from ..infer import FastPitch2Wave
             return FastPitch2Wave(**kwargs)

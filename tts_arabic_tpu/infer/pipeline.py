@@ -356,6 +356,25 @@ class FastPitchTTS:
         return out
 
 
+# default int8 calibration texts (ASC corpus sentences, long and
+# phoneme-diverse so MRF activations span their serving dynamic range;
+# same sentences in both input modes — data/test_arab.txt line 1 /
+# data/infer_test.txt lines 1-3)
+_INT8_CALIB_ARABIC = [
+    "أَتاحَت لِلبائِعِ لمُتَجَوِّلِ أَن يَكُونَ جاذِبَن لِلمُواطِنِ لأَقَلِّ دَخلَن",
+    "أَحرَزَت مُنتَخَباتُ لبَرازِيلِ وَألمانيا وَرُوسيا فَوزَن فِي مُقابَلاتِهِم"
+    " لإِعدادِيَّةِ لَّتِي أُقِيمَت ِستِعدادَن لِنِهائِيّاتِ كَأسِ لعالَم",
+    "إِذ سَيَحضُرُ لِقاءَ هَذا لعامِ خَمسُن وَثَلاثُونَ مِنهُم",
+]
+_INT8_CALIB_BUCKWALTER = [
+    ">atAHat lilbA}iEi lmutajaw~ili >an yakuwna jA*iban lilmuwATini"
+    " l>aqal~i daxlan",
+    ">aHrazat muntaxabAtu lbarAziyli wa>lmAnyA waruwsyA fawzan fiy"
+    " muqAbalAtihim l<iEdAdiy~api",
+    "<i* sayaHDuru liqAa ha*A lEAmi xamsun wa^alA^uwna minhum",
+]
+
+
 class FastPitch2Wave:
     """End-to-end text -> waveform (reference `FastPitch2Wave` equivalent),
     with the vocoder + denoiser fused into the phase-B jit."""
@@ -365,7 +384,8 @@ class FastPitch2Wave:
                  arabic_in: bool = True, config=None, seed: int = 0,
                  compute_dtype=None, vocoder_type: str = "hifigan",
                  mesh=None, mrf_strategy: str = "auto",
-                 strict_text: bool = False):
+                 strict_text: bool = False,
+                 quantize: Optional[str] = None):
         """compute_dtype: jnp.bfloat16 runs the decoder+vocoder hot path on
         the MXU's native bf16 (~2x on TPU); weights stay fp32 in memory and
         are cast at trace time; the spectral denoiser stays fp32. None =
@@ -386,7 +406,18 @@ class FastPitch2Wave:
         kernels: benchmark/debug only — "packed" wins its stage but
         costs ~6x warmup through the remote Mosaic compiler). Off-TPU or
         for non-ResBlock1 checkpoints the plain flax apply is always
-        used."""
+        used.
+
+        quantize: None (default) or "int8" — static-calibrated int8 for
+        the dense HiFi-GAN MRF stages (int8 runs the MXU at double rate;
+        measured 1.28-1.85x on those convs, docs/PERF.md r5). Calibration
+        runs automatically in this constructor on a built-in text set;
+        call `calibrate_int8(texts=...)` afterwards to recalibrate on
+        deployment-representative text. PTQ-grade accuracy (~40 dB
+        waveform SNR vs the float path). The reference serves fp32 only."""
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r}; "
+                             "supported: 'int8'")
         self.compute_dtype = compute_dtype
         self.vocoder_type = vocoder_type
         self.model = FastPitchTTS(model_sd_path, config=config,
@@ -440,11 +471,13 @@ class FastPitch2Wave:
                                                          v)
             )(self.vocoder_vars)
         self._voc_apply = self.vocoder.apply
+        self._voc_strategy = "xla"
         if (vocoder_type == "hifigan" and mrf_strategy != "xla"
                 and self.vocoder_config.resblock == "1"
                 and jax.devices()[0].platform == "tpu"):
             from ..ops.hifigan_pallas import generator_apply_pallas
             cfg = self.vocoder_config
+            self._voc_strategy = mrf_strategy
             self._voc_apply = (
                 lambda v, m: generator_apply_pallas(
                     v, m, cfg, strategy=mrf_strategy))
@@ -452,10 +485,65 @@ class FastPitch2Wave:
             from ..parallel import replicate
             self.vocoder_vars = replicate(self.vocoder_vars, mesh)
             self.bias_spec = replicate(self.bias_spec, mesh)
-        self._wave_jit = jax.jit(self._wave_fn,
-                                 static_argnames=("max_frames",
-                                                  "use_denoiser",
-                                                  "return_mel", "out_int16"))
+        self._int8_scales = None
+        self._rebuild_wave_jit()
+        if quantize == "int8":
+            self.calibrate_int8()
+
+    def _rebuild_wave_jit(self):
+        """(Re)create the wave jit around a FRESH closure: bound methods of
+        one object compare/hash equal, so re-jitting `self._wave_fn` after
+        `_voc_apply` changed would silently reuse the old trace (the same
+        collision fixed in eval/gate_control.py)."""
+        fn = lambda *a, **kw: self._wave_fn(*a, **kw)  # noqa: E731
+        self._wave_jit = jax.jit(fn, static_argnames=("max_frames",
+                                                      "use_denoiser",
+                                                      "return_mel",
+                                                      "out_int16"))
+        if hasattr(self, "_stream_jit"):
+            del self._stream_jit  # lazily rebuilt with the new _voc_apply
+
+    def calibrate_int8(self, texts: Optional[List[str]] = None, mels=None,
+                       min_ch: int = 64, margin: float = 1.0):
+        """Switch the vocoder to the static-calibrated int8 MRF path.
+
+        Calibrates per-conv activation scales from `mels` ([B, T, 80] array
+        or list of them), or from mels synthesized by this model for
+        `texts` (default: a built-in phoneme-diverse set). Scales become
+        trace-time constants of a freshly-built wave jit; tts()/stream()
+        pick them up immediately. Returns the scales dict. HiFi-GAN
+        ResBlock1 checkpoints only (Vocos/ResBlock2 have no measured int8
+        win)."""
+        if self.vocoder_type != "hifigan":
+            raise ValueError("int8 quantization covers the HiFi-GAN path")
+        if self.vocoder_config.resblock != "1":
+            raise ValueError("int8 quantization covers ResBlock1 configs")
+        from ..ops.hifigan_int8 import (collect_mrf_scales,
+                                        generator_apply_int8)
+        if mels is None:
+            batch = texts or (_INT8_CALIB_ARABIC if self.model.arabic_in
+                              else _INT8_CALIB_BUCKWALTER)
+            ids = self.model.tokenize_batch(list(batch), None)
+            mel, _, _, _ = self.model._infer_batch_mel(
+                ids, 1.0, 0, 1.0, 0.0)
+            mels = [mel]
+        elif hasattr(mels, "ndim"):
+            mels = [mels]
+        dt = self.compute_dtype
+        voc_vars = (self.vocoder_vars if dt is None
+                    else cast_floating(self.vocoder_vars, dt))
+        mels = [jnp.asarray(m) if dt is None else jnp.asarray(m).astype(dt)
+                for m in mels]
+        scales = collect_mrf_scales(voc_vars, mels, self.vocoder_config,
+                                    min_ch=min_ch, margin=margin)
+        cfg, strategy = self.vocoder_config, self._voc_strategy
+        self._voc_apply = (
+            lambda v, m: generator_apply_int8(v, m, cfg, scales,
+                                              min_ch=min_ch,
+                                              strategy=strategy))
+        self._int8_scales = scales
+        self._rebuild_wave_jit()
+        return scales
 
     @property
     def sample_rate(self) -> int:
@@ -674,8 +762,11 @@ class FastPitch2Wave:
             fp_vars, enc_out = (cast_floating(fp_vars, dt),
                                 enc_out.astype(dt))
         if not hasattr(self, "_stream_jit"):
+            # fresh closure, not the bound method: a recalibration
+            # (calibrate_int8) deletes this wrapper, and re-jitting the
+            # bound method would reuse the stale trace cache
             self._stream_jit = jax.jit(
-                self._stream_chunk_fn,
+                lambda *a, **kw: self._stream_chunk_fn(*a, **kw),
                 static_argnames=("window", "use_denoiser", "out_int16"))
 
         # FIRST chunk is dispatched speculatively BEFORE the dec_len fetch:

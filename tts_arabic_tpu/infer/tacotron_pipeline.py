@@ -339,10 +339,18 @@ class Tacotron2Wave:
                  vocoder_config=None, vowelizer: Optional[str] = None,
                  arabic_in: bool = True, config=None, seed: int = 0,
                  compute_dtype=None, mrf_strategy: str = "auto",
-                 strict_text: bool = False):
+                 strict_text: bool = False,
+                 quantize: Optional[str] = None):
         """mrf_strategy: HiFi-GAN MRF implementation — same knob as
         `FastPitch2Wave` (docs/PERF.md; "auto" = packed-lane XLA rewrite
-        at 32 channels)."""
+        at 32 channels).
+
+        quantize: None or "int8" — static-calibrated int8 MRF stages, the
+        same opt-in as `FastPitch2Wave(quantize="int8")`; constructor-time
+        calibration decodes a built-in text set through this model."""
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r}; "
+                             "supported: 'int8'")
         self.model = Tacotron2TTS(model_sd_path, config=config,
                                   arabic_in=arabic_in, vowelizer=vowelizer,
                                   seed=seed, compute_dtype=compute_dtype,
@@ -368,16 +376,72 @@ class Tacotron2Wave:
             lambda v: denoiser_mod.compute_bias_spec(self.vocoder.apply, v)
         )(self.vocoder_vars)
         self._voc_apply = self.vocoder.apply
+        self._voc_strategy = "xla"
         if (mrf_strategy != "xla" and self.vocoder_config.resblock == "1"
                 and jax.devices()[0].platform == "tpu"):
             from ..ops.hifigan_pallas import generator_apply_pallas
             cfg = self.vocoder_config
+            self._voc_strategy = mrf_strategy
             self._voc_apply = (
                 lambda v, m: generator_apply_pallas(
                     v, m, cfg, strategy=mrf_strategy))
-        self._vocode_jit = jax.jit(self._vocode_fn,
-                                   static_argnames=("use_denoiser",
-                                                    "out_int16"))
+        self._int8_scales = None
+        self._rebuild_vocode_jit()
+        if quantize == "int8":
+            self.calibrate_int8()
+
+    def _rebuild_vocode_jit(self):
+        """(Re)create the vocode jit around a FRESH closure (bound methods
+        of one object hash equal — re-jitting `self._vocode_fn` after
+        `_voc_apply` changed would reuse the stale trace), and drop the
+        stream jits so they lazily rebuild with the new vocoder path."""
+        fn = lambda *a, **kw: self._vocode_fn(*a, **kw)  # noqa: E731
+        self._vocode_jit = jax.jit(fn, static_argnames=("use_denoiser",
+                                                        "out_int16"))
+        for attr in ("_enc_stream_jit", "_seg_jit", "_win_jit"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+
+    def calibrate_int8(self, texts: Optional[List[str]] = None, mels=None,
+                       min_ch: int = 64, margin: float = 1.0):
+        """Switch the vocoder to the static-calibrated int8 MRF path (same
+        contract as `FastPitch2Wave.calibrate_int8`; HiFi-GAN ResBlock1
+        only). `mels`: [B, T, 80] array(s); or `texts` are decoded through
+        this model (default: the built-in calibration set)."""
+        if self.vocoder_config.resblock != "1":
+            raise ValueError("int8 quantization covers HiFi-GAN ResBlock1 "
+                             "configs")
+        from ..ops.hifigan_int8 import (collect_mrf_scales,
+                                        generator_apply_int8)
+        if mels is None:
+            from .pipeline import (_INT8_CALIB_ARABIC,
+                                   _INT8_CALIB_BUCKWALTER)
+            batch = texts or (_INT8_CALIB_ARABIC if self.model.arabic_in
+                              else _INT8_CALIB_BUCKWALTER)
+            got = self.model.ttmel_batch(list(batch))  # [80, T] each
+            bucket = _pick_mel_bucket(max(m.shape[1] for m in got))
+            stacked = np.full((len(got), bucket, got[0].shape[0]),
+                              LOG_MEL_PAD, np.float32)
+            for i, m in enumerate(got):
+                stacked[i, : m.shape[1]] = m.T
+            mels = [stacked]
+        elif hasattr(mels, "ndim"):
+            mels = [mels]
+        dt = self.model.compute_dtype
+        voc_vars = (self.vocoder_vars if dt is None
+                    else cast_floating(self.vocoder_vars, dt))
+        mels = [jnp.asarray(m) if dt is None else jnp.asarray(m).astype(dt)
+                for m in mels]
+        scales = collect_mrf_scales(voc_vars, mels, self.vocoder_config,
+                                    min_ch=min_ch, margin=margin)
+        cfg, strategy = self.vocoder_config, self._voc_strategy
+        self._voc_apply = (
+            lambda v, m: generator_apply_int8(v, m, cfg, scales,
+                                              min_ch=min_ch,
+                                              strategy=strategy))
+        self._int8_scales = scales
+        self._rebuild_vocode_jit()
+        return scales
 
     @property
     def sample_rate(self):

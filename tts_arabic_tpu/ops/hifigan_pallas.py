@@ -326,7 +326,8 @@ def conv_transpose_packed_out(x, kernel, bias, stride: int, padding: int,
 def generator_apply_pallas(variables, mel: jnp.ndarray,
                            config: HiFiGANConfig = HiFiGANConfig(), *,
                            strategy: str = "auto",
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           resblock_override=None) -> jnp.ndarray:
     """Drop-in for `Generator.apply` (ResBlock1 configs): mel [B, T, 80] ->
     wave [B, T*hop], reading the exact same variables pytree.
 
@@ -342,6 +343,14 @@ def generator_apply_pallas(variables, mel: jnp.ndarray,
         variants need 128 % C == 0, C < 128). "packed" is the per-resblock
         packed-lane PALLAS kernel (Mosaic warmup applies); "packed_xla" is
         the lane-packing transform as plain XLA convs.
+
+    resblock_override: optional hook with `claims(ch) -> bool` and
+    `__call__(x, params, kernel_size, dilations, stage, block) -> y`; a
+    stage whose width it claims routes every MRF ResBlock through the hook
+    instead of the strategy mix (used by `ops.hifigan_int8` for the
+    static-calibrated int8 serving path and its calibration pass). Claimed
+    stages are never whole-stage packed, so a hook claiming C <= 32 trades
+    away the packed-lane win — the int8 default (min_ch=64) does not.
     """
     assert config.resblock == "1", "pallas path covers ResBlock1 checkpoints"
     p = variables["params"]
@@ -354,6 +363,8 @@ def generator_apply_pallas(variables, mel: jnp.ndarray,
         ch = config.upsample_initial_channel // (2 ** (i + 1))
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         up = p[f"up_{i}"]
+        claimed = (resblock_override is not None
+                   and resblock_override.claims(ch))
         packed_ok = 128 % ch == 0 and ch < 128
         P = 128 // ch if packed_ok else 1
         # whole-stage packed path: the upsample emits packed output
@@ -361,7 +372,7 @@ def generator_apply_pallas(variables, mel: jnp.ndarray,
         # pack copy), the three ResBlocks and the MRF average stay packed,
         # and the stage unpacks ONCE at its end
         stage_packed = (
-            packed_ok and P % u == 0
+            not claimed and packed_ok and P % u == 0
             # packed output has T*u/P frames: require divisibility, else
             # the trailing partial group would be silently dropped (the
             # default config is always safe — stage inputs are T*128/T*256
@@ -389,7 +400,9 @@ def generator_apply_pallas(variables, mel: jnp.ndarray,
         for j, (rk, rd) in enumerate(zip(config.resblock_kernel_sizes,
                                          config.resblock_dilation_sizes)):
             rp = p[f"res_{i}_{j}"]
-            if strategy == "packed" and packed_ok:
+            if claimed:
+                y = resblock_override(x, rp, rk, rd, stage=i, block=j)
+            elif strategy == "packed" and packed_ok:
                 y = resblock_pallas_packed(x, rp, rk, rd,
                                            interpret=interpret)
             elif strategy == "unfold":
