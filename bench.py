@@ -685,13 +685,14 @@ def main():
         if rtf2 > headline["rtf"]:
             headline["rtf"] = rtf2
 
-    # ---- opt-in int8 vocoder (beyond-reference serving mode) -------------
-    # Static-calibrated int8 MRF stages (ops/hifigan_int8.py): double-rate
-    # MXU path, measured 1.28-1.85x on the dense MRF convs (docs/PERF.md
-    # r5). Runs LAST: calibrate_int8 switches `pipe` in place, and the
-    # pre-registered bf16 headline must be fully recorded first. Quality
-    # is gated in-run: waveform SNR of the int8 path vs the just-measured
-    # bf16 output on the same prompts.
+    # ---- opt-in int8 serving path (beyond-reference) ----------------------
+    # Static-calibrated int8 for the dense MRF stages (ops/hifigan_int8.py,
+    # 1.28-1.85x on those convs) AND the decoder FFT ConvFFN convs (1.75x at
+    # their shapes — docs/PERF.md r5); encoder/duration head stay float so
+    # lengths are unchanged. Runs LAST: calibrate_int8 switches `pipe` in
+    # place, and the pre-registered bf16 headline must be fully recorded
+    # first. Quality is gated in-run: waveform SNR of the int8 path vs the
+    # just-measured bf16 output on the same prompts.
     if skip_unless("int8_vocoder", 240 if not SMOKE else 60):
         sub = lines[:batch_size]
         ref_w = pipe.tts(sub, denoise=0.005, batch_size=batch_size,
@@ -719,8 +720,11 @@ def main():
             "stats": ai_stats,
             "snr_db_vs_bf16": round(float(snr), 1),
             "sites": len(pipe._int8_scales),
-            "note": ("opt-in FastPitch2Wave(quantize='int8'); PTQ-grade "
-                     "accuracy, compute anchor is the stable comparison"),
+            "ffn_layers": (len(pipe._ffn_quant["decoder"])
+                           if pipe._ffn_quant else 0),
+            "note": ("opt-in FastPitch2Wave(quantize='int8'): int8 MRF + "
+                     "int8 decoder FFN; PTQ-grade accuracy, compute anchor "
+                     "is the stable comparison"),
         }
         print(f"# int8 anchor: compute_rtf="
               f"{detail['int8_vocoder']['compute_only_rtf']}x vs bf16 "

@@ -123,21 +123,58 @@ def test_min_ch_guard_protects_packed_stage():
 
 def test_pipeline_calibrate_int8_end_to_end():
     """FastPitch2Wave.calibrate_int8(): the default-text auto-calibration
-    runs, tts() switches to the int8 path (scales installed, fresh jit),
-    output stays PTQ-close to the float pipeline, and stream() matches
-    tts_single under the new path."""
+    runs, tts() switches to the int8 path — vocoder MRF AND decoder FFN
+    (texts path => ffn auto-on; encoder stays float so mel lengths are
+    unchanged) — output stays PTQ-close to the float pipeline, and
+    stream() matches tts_single under the new path."""
     from tts_arabic_tpu.infer.pipeline import FastPitch2Wave
     pipe = FastPitch2Wave(seed=0, arabic_in=False)
     text = ">atAHat lilbA}iEi lmutajaw~ili >an yakuwna jA*iban"
     ref = pipe.tts_single(text, denoise=0.0)
     scales = pipe.calibrate_int8()
     assert pipe._int8_scales is scales and len(scales) == 54
+    assert pipe._ffn_quant is not None
+    assert len(pipe._ffn_quant["decoder"]) == pipe.model.config.dec_n_layers
     q = pipe.tts_single(text, denoise=0.0)
-    assert q.shape == ref.shape
+    assert q.shape == ref.shape  # float duration head => same lengths
     assert _snr_db(ref, q) > 20
-    # streaming shares _voc_apply: chunks must match the batched int8 path
+    # streaming shares _voc_apply AND the quantized decode: chunks must
+    # match the batched int8 path
     streamed = np.concatenate(list(pipe.stream(text, denoise=0.0)))
     np.testing.assert_allclose(streamed, q, atol=2e-4)
+    # mels-path calibration cannot cover the FFN: explicit ffn=True raises
+    with pytest.raises(ValueError, match="texts path"):
+        pipe.calibrate_int8(mels=np.zeros((1, 16, 80), np.float32),
+                            ffn=True)
+
+
+def test_convffn_int8_quant_collection():
+    """FFTransformer with a read-only "quant" collection: calib sow ->
+    scales -> quantized apply stays close to float, and padded positions
+    still quantize to exact zeros (bucket invariance preserved)."""
+    from tts_arabic_tpu.models.layers import FFTransformer
+    m = FFTransformer(n_layer=2, n_head=1, d_model=64, d_head=64,
+                      d_inner=256, kernel_size=3, dropout=0.1, dropatt=0.1)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 24, 64)), jnp.float32)
+    lens = jnp.asarray([24, 17])
+    variables = m.init(jax.random.PRNGKey(0), x, lens)
+    assert sorted(variables.keys()) == ["params"]  # no calib leak at init
+    ref, _ = m.apply(variables, x, lens)
+    (_, _), aux = m.apply(variables, x, lens, mutable=["calib"])
+    qt = {
+        layer: {"ff": {"ffn_ascale": jnp.asarray(
+            [float(c["ff"]["ffn_amax1"]) / 127.0,
+             float(c["ff"]["ffn_amax2"]) / 127.0], jnp.float32)}}
+        for layer, c in aux["calib"].items()}
+    q, _ = m.apply({**variables, "quant": qt}, x, lens)
+    assert _snr_db(np.asarray(ref), np.asarray(q)) > 25
+    # same inputs at a longer bucket: real positions identical (the pad
+    # rows quantize to exact zeros, like the float path's masking)
+    x2 = jnp.pad(x, ((0, 0), (0, 8), (0, 0)))
+    q2, _ = m.apply({**variables, "quant": qt}, x2, lens)
+    np.testing.assert_allclose(np.asarray(q2)[:, :24], np.asarray(q),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_pipeline_rejects_bad_quantize_modes():

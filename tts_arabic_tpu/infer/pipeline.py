@@ -486,6 +486,7 @@ class FastPitch2Wave:
             self.vocoder_vars = replicate(self.vocoder_vars, mesh)
             self.bias_spec = replicate(self.bias_spec, mesh)
         self._int8_scales = None
+        self._ffn_quant = None
         self._rebuild_wave_jit()
         if quantize == "int8":
             self.calibrate_int8()
@@ -504,44 +505,90 @@ class FastPitch2Wave:
             del self._stream_jit  # lazily rebuilt with the new _voc_apply
 
     def calibrate_int8(self, texts: Optional[List[str]] = None, mels=None,
-                       min_ch: int = 64, margin: float = 1.0):
-        """Switch the vocoder to the static-calibrated int8 MRF path.
+                       min_ch: int = 64, margin: float = 1.0, ffn="auto"):
+        """Switch the serving path to static-calibrated int8: the HiFi-GAN
+        MRF stages (>= min_ch channels) and — when calibrating from texts —
+        the decoder FFT ConvFFN convs (measured 1.75x on the MXU at their
+        shapes, docs/PERF.md r5; encoder/duration/pitch heads stay float,
+        so predicted durations and mel lengths are unchanged).
 
         Calibrates per-conv activation scales from `mels` ([B, T, 80] array
         or list of them), or from mels synthesized by this model for
         `texts` (default: a built-in phoneme-diverse set). Scales become
         trace-time constants of a freshly-built wave jit; tts()/stream()
-        pick them up immediately. Returns the scales dict. HiFi-GAN
+        pick them up immediately. Returns the vocoder scales dict. HiFi-GAN
         ResBlock1 checkpoints only (Vocos/ResBlock2 have no measured int8
-        win)."""
+        win). ffn: True/False/"auto" ("auto" = quantize the decoder FFN
+        when text calibration is possible; requires scan_layers=False)."""
         if self.vocoder_type != "hifigan":
             raise ValueError("int8 quantization covers the HiFi-GAN path")
         if self.vocoder_config.resblock != "1":
             raise ValueError("int8 quantization covers ResBlock1 configs")
         from ..ops.hifigan_int8 import (collect_mrf_scales,
                                         generator_apply_int8)
+        m = self.model
+        dt = self.compute_dtype
+        if ffn == "auto":
+            ffn = mels is None and not m.config.scan_layers
+        if ffn and mels is not None:
+            raise ValueError("decoder-FFN calibration needs the texts path "
+                             "(pass texts=..., or ffn=False with mels=...)")
+        if ffn and m.config.scan_layers:
+            raise ValueError("decoder-FFN int8 is unavailable under "
+                             "scan_layers=True")
+        ffn_quant = None
         if mels is None:
-            batch = texts or (_INT8_CALIB_ARABIC if self.model.arabic_in
+            batch = texts or (_INT8_CALIB_ARABIC if m.arabic_in
                               else _INT8_CALIB_BUCKWALTER)
-            ids = self.model.tokenize_batch(list(batch), None)
-            mel, _, _, _ = self.model._infer_batch_mel(
-                ids, 1.0, 0, 1.0, 0.0)
+            ids = m.tokenize_batch(list(batch), None)
+            if ffn:
+                # one calibration decode with the "calib" collection
+                # mutable: sows max-abs at every decoder ConvFFN conv input
+                # AND yields the mels for the vocoder calibration below
+                enc, _, _ = m._encode_batch(ids, 0, 1.0, 0.0, None, 1.0)
+                bucket = _pick_mel_bucket(int(enc["dec_len_max"]))
+                fp_vars = (m.variables if dt is None
+                           else cast_floating(m.variables, dt))
+                enc_out = (enc["enc_out"] if dt is None
+                           else enc["enc_out"].astype(dt))
+
+                def _calib_decode(v, e, d):
+                    (mel, lens), aux = m.model.apply(
+                        v, e, d, bucket, 1.0, method=FastPitch.decode,
+                        mutable=["calib"])
+                    frame_ids = jnp.arange(bucket)[None, :, None]
+                    mel = jnp.where(frame_ids < lens[:, None, None], mel,
+                                    LOG_MEL_PAD)
+                    return mel, aux["calib"]["decoder"]
+
+                mel, calib = jax.jit(_calib_decode)(fp_vars, enc_out,
+                                                    enc["dur_pred"])
+                calib = jax.device_get(calib)
+                ffn_quant = {"decoder": {
+                    layer: {"ff": {"ffn_ascale": jnp.asarray(
+                        [max(float(c["ff"]["ffn_amax1"]), 1e-12)
+                         * margin / 127.0,
+                         max(float(c["ff"]["ffn_amax2"]), 1e-12)
+                         * margin / 127.0], jnp.float32)}}
+                    for layer, c in calib.items()}}
+            else:
+                mel, _, _, _ = m._infer_batch_mel(ids, 1.0, 0, 1.0, 0.0)
             mels = [mel]
         elif hasattr(mels, "ndim"):
             mels = [mels]
-        dt = self.compute_dtype
         voc_vars = (self.vocoder_vars if dt is None
                     else cast_floating(self.vocoder_vars, dt))
-        mels = [jnp.asarray(m) if dt is None else jnp.asarray(m).astype(dt)
-                for m in mels]
+        mels = [jnp.asarray(x) if dt is None else jnp.asarray(x).astype(dt)
+                for x in mels]
         scales = collect_mrf_scales(voc_vars, mels, self.vocoder_config,
                                     min_ch=min_ch, margin=margin)
         cfg, strategy = self.vocoder_config, self._voc_strategy
         self._voc_apply = (
-            lambda v, m: generator_apply_int8(v, m, cfg, scales,
-                                              min_ch=min_ch,
-                                              strategy=strategy))
+            lambda v, m_: generator_apply_int8(v, m_, cfg, scales,
+                                               min_ch=min_ch,
+                                               strategy=strategy))
         self._int8_scales = scales
+        self._ffn_quant = ffn_quant
         self._rebuild_wave_jit()
         return scales
 
@@ -562,6 +609,8 @@ class FastPitch2Wave:
             fp_vars, voc_vars, enc_out = (cast_floating(fp_vars, dt),
                                           cast_floating(voc_vars, dt),
                                           enc_out.astype(dt))
+        if self._ffn_quant is not None:  # int8 decoder FFN (calibrate_int8)
+            fp_vars = {**fp_vars, "quant": self._ffn_quant}
         mel, mel_lens = self.model._decode_fn(fp_vars, enc_out, durations,
                                               pace, max_frames=max_frames)
         if self.vocoder_type == "vocos":
@@ -761,6 +810,8 @@ class FastPitch2Wave:
             dt = self.compute_dtype
             fp_vars, enc_out = (cast_floating(fp_vars, dt),
                                 enc_out.astype(dt))
+        if self._ffn_quant is not None:  # same int8 decoder FFN as _wave_fn
+            fp_vars = {**fp_vars, "quant": self._ffn_quant}
         if not hasattr(self, "_stream_jit"):
             # fresh closure, not the bound method: a recalibration
             # (calibrate_int8) deletes this wrapper, and re-jitting the

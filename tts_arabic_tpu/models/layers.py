@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -66,6 +67,29 @@ class SelfAttention(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, name="ln")(x + out)
 
 
+class _Conv1d(nn.Module):
+    """SAME k-conv with nn.Conv's exact param layout and init ("kernel"
+    [k, Cin, Cout] lecun-normal, "bias" zeros — bit-identical init under
+    the same scope name/RNG), but with the kernel directly accessible so
+    the conv can optionally run on the MXU's double-rate int8 path with a
+    static activation scale (`ops/int8.py`)."""
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x, quant_scale=None):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.kernel_size, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if quant_scale is not None:
+            from ..ops.int8 import int8_conv_static
+            return int8_conv_static(x, kernel, bias, 1, quant_scale)
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), window_strides=(1,), padding="SAME",
+            dimension_numbers=("NHC", "HIO", "NHC"))
+        return y + bias.astype(x.dtype)
+
+
 class ConvFFN(nn.Module):
     """Position-wise conv-k FFN, post-LN residual block (reference
     `PositionwiseConvFF`, transformer.py:51-90).
@@ -77,7 +101,14 @@ class ConvFFN(nn.Module):
     padding, matching the reference's single-utterance (`ttmel_single`)
     semantics. The reference's own batched path leaks pad values through the
     second conv (transformer.py:51-90 has no inter-conv mask), making its
-    results depend on batch composition; we deliberately do better."""
+    results depend on batch composition; we deliberately do better.
+
+    int8 serving hooks (both inert unless the caller opts in; neither is
+    available under scan_layers):
+    - a read-only "quant" collection entry `ffn_ascale` [2] at this
+      module's path switches the two convs to the static-scale int8 path;
+    - applying with `mutable=["calib"]` sows `ffn_amax{1,2}` (max-abs of
+      each conv's input, max-reduced) for scale calibration."""
     d_model: int
     d_inner: int
     kernel_size: int = 3
@@ -87,13 +118,30 @@ class ConvFFN(nn.Module):
     def __call__(self, x, mask=None, *, deterministic: bool = True):
         m = (None if mask is None
              else mask[..., None].astype(x.dtype))
-        y = nn.Conv(self.d_inner, (self.kernel_size,), padding="SAME",
-                    name="conv1")(x if m is None else x * m)
+        xm = x if m is None else x * m
+        q = (self.get_variable("quant", "ffn_ascale")
+             if self.has_variable("quant", "ffn_ascale") else None)
+        # init makes every collection mutable — don't sow junk into init'd
+        # variables (it would leak into checkpoints)
+        calib = (self.is_mutable_collection("calib")
+                 and not self.is_initializing())
+        _max = lambda a, b: jnp.maximum(a, b)  # noqa: E731
+        _zero = lambda: jnp.zeros((), jnp.float32)  # noqa: E731
+        if calib:
+            self.sow("calib", "ffn_amax1",
+                     jnp.max(jnp.abs(xm.astype(jnp.float32))),
+                     reduce_fn=_max, init_fn=_zero)
+        y = _Conv1d(self.d_inner, self.kernel_size, name="conv1")(
+            xm, quant_scale=None if q is None else q[0])
         y = nn.relu(y)
         if m is not None:
             y = y * m
-        y = nn.Conv(self.d_model, (self.kernel_size,), padding="SAME",
-                    name="conv2")(y)
+        if calib:
+            self.sow("calib", "ffn_amax2",
+                     jnp.max(jnp.abs(y.astype(jnp.float32))),
+                     reduce_fn=_max, init_fn=_zero)
+        y = _Conv1d(self.d_model, self.kernel_size, name="conv2")(
+            y, quant_scale=None if q is None else q[1])
         y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-5, name="ln")(x + y)
 

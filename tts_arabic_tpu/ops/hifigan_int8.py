@@ -36,40 +36,7 @@ import jax.numpy as jnp
 
 from ..vocoder.hifigan import HiFiGANConfig, LRELU_SLOPE
 from .hifigan_pallas import _conv1d_same, generator_apply_pallas
-
-
-def _weight_qparams(kernel):
-    """Per-output-channel symmetric scale + int8 grid for a [k, Cin, Cout]
-    kernel. Computed at trace time from the float master weights so the
-    variables pytree (and every checkpoint import/export path) is
-    untouched."""
-    wf = kernel.astype(jnp.float32)
-    wmax = jnp.max(jnp.abs(wf), axis=(0, 1))
-    wscale = jnp.maximum(wmax, 1e-12) / 127.0
-    wq = jnp.clip(jnp.round(wf / wscale), -127, 127).astype(jnp.int8)
-    return wq, wscale
-
-
-def int8_conv_static(y, kernel, bias, dilation: int, ascale: float):
-    """SAME conv with static-scale int8 activations and per-channel int8
-    weights: y [B, T, C] (any float dtype) -> [B, T, Cout] in y.dtype.
-
-    int32 accumulation is exact (|acc| <= k*C*127^2 < 2^31 for every
-    HiFi-GAN shape); the only approximation is the round-to-grid of inputs
-    and weights, so the result equals the f32 fake-quant conv to f32
-    accumulation tolerance (tested)."""
-    wq, wscale = _weight_qparams(kernel)
-    xq = jnp.clip(jnp.round(y.astype(jnp.float32) * (1.0 / ascale)),
-                  -127, 127).astype(jnp.int8)
-    k = kernel.shape[0]
-    pad = (k - 1) * dilation // 2
-    acc = jax.lax.conv_general_dilated(
-        xq, wq, window_strides=(1,), padding=[(pad, pad)],
-        rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=jnp.int32)
-    out = acc.astype(jnp.float32) * (ascale * wscale) + bias.astype(
-        jnp.float32)
-    return out.astype(y.dtype)
+from .int8 import int8_conv_static  # noqa: F401  (re-export; shared impl)
 
 
 def _site(stage: int, block: int, conv: int, di: int) -> str:
